@@ -1,0 +1,21 @@
+from .ddim import (
+    DDIMSchedule,
+    make_ddim_schedule,
+    compute_loss_weights,
+    inference_timesteps,
+    add_noise,
+    remove_noise,
+    ddim_step,
+)
+from .sampler import ddim_sample
+
+__all__ = [
+    "DDIMSchedule",
+    "make_ddim_schedule",
+    "compute_loss_weights",
+    "inference_timesteps",
+    "add_noise",
+    "remove_noise",
+    "ddim_step",
+    "ddim_sample",
+]
