@@ -1,0 +1,101 @@
+"""Headline benchmark: 50-step DDIM panoptic inference throughput.
+
+Measures video frames/sec/chip for the full inference pipeline — RGB VAE
+encode -> 50 UNet denoise steps (one lax.scan) -> seg-VAE decode to
+instance logits — at 256x512 input (32x64 latent), bf16, on the attached
+TPU chip, with the SD-1.4-sized UNet. North star (BASELINE.json): >= 8
+frames/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    # big-graph compiles go through the axon relay and are slow; persist
+    # them so driver re-runs are cheap
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ldmseg_tpu.models import (
+        SegVAE, ImageVAE, UNet2DCondition, UNetConfig)
+    from ldmseg_tpu.diffusion import make_ddim_schedule, ddim_sample
+
+    batch = 8
+    h, w = 256, 512
+    lh, lw = h // 8, w // 8
+    dtype = jnp.bfloat16
+
+    unet_cfg = UNetConfig(in_channels=8, use_cross_attention=False)
+    unet = UNet2DCondition(config=unet_cfg)
+    vae_img = ImageVAE(decoder_enabled=False)
+    vae_seg = SegVAE(in_channels=16, out_channels=128, num_upscalers=2)
+
+    key = jax.random.key(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    import functools
+    unet_params = jax.jit(unet.init)(
+        k1, jnp.zeros((1, lh, lw, 8), dtype), jnp.zeros((1,), jnp.int32))
+    img_params = jax.jit(functools.partial(
+        vae_img.init, method=ImageVAE.encode))(
+        k2, jnp.zeros((1, h, w, 3), dtype))
+    seg_params = jax.jit(functools.partial(
+        vae_seg.init, sample_posterior=False))(
+        {"params": k3, "sample": k4}, jnp.zeros((1, h, w, 16), dtype))
+
+    cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: x.astype(dtype) if hasattr(x, "dtype")
+        and x.dtype == jnp.float32 else x, t)
+    unet_params, img_params, seg_params = (
+        cast(unet_params), cast(img_params), cast(seg_params))
+
+    sched = make_ddim_schedule(
+        beta_schedule="scaled_linear", beta_start=0.00085, beta_end=0.012,
+        clip_sample=False, set_alpha_to_one=False)
+
+    @jax.jit
+    def pipeline(unet_params, img_params, seg_params, rgb, key):
+        post = vae_img.apply(img_params, rgb, method=ImageVAE.encode)
+        rgb_latents = post.mode().astype(dtype) * 0.18215
+
+        def model_fn(latents, condition, t):
+            inp = jnp.concatenate(
+                [latents.astype(dtype), rgb_latents], axis=-1)
+            return unet.apply(unet_params, inp, t).astype(jnp.float32)
+
+        init = jax.random.normal(key, (batch, lh, lw, 4))
+        x0 = ddim_sample(sched, model_fn, init, num_inference_steps=50)
+        z = (x0 * (1.0 / 0.2)).astype(dtype)
+        logits = vae_seg.apply(seg_params, z, True, method=SegVAE.decode)
+        return logits
+
+    rgb = jax.random.normal(jax.random.key(1), (batch, h, w, 3),
+                            dtype=dtype)
+    # warmup/compile (params as ARGUMENTS — closing over them would bake
+    # 815M weights into the HLO as constants and stall the compiler)
+    pipeline(unet_params, img_params, seg_params, rgb,
+             jax.random.key(2))[0].block_until_ready()
+
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = pipeline(unet_params, img_params, seg_params, rgb,
+                       jax.random.key(3 + i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    fps = batch / dt
+
+    baseline = 8.0  # north-star frames/s/chip (BASELINE.json)
+    print(json.dumps({
+        "metric": "frames_per_sec_per_chip_50step_ddim_256x512",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""SemKITTI-DVPS dataset (video_sequence layout).
+
+Reference: ldmseg/data/kitti.py:62-539 and dataset/semKITTI_dataset.py.
+File layout per split directory:
+  ``{scene}_{frame}_leftImg8bit.png``, ``{scene}_{frame}_gtFine_class.png``,
+  ``{scene}_{frame}_gtFine_instance.png``,
+  ``{scene}_{frame}_depth_{focal}.png``  (kitti.py:161-194).
+
+Per sample (all channels-last numpy):
+  * image        [H, W, 3] float32, ImageNet-normalized (kitti.py:120-125)
+  * semseg       [H, W] int32, remapped class ids, ignore=0
+  * instance     [H, W] int32, compacted to 0..K (kitti.py:419-424)
+  * depth        [H, W] float32 (bilinear; kitti.py:370)
+  * mask         [H, W] uint8: 0 where raw class in {0, 255}
+    (kitti.py:375-378)
+  * image_semseg [H, W, 10] float32: 5-bit semantic + 5-bit instance analog
+    bits (kitti.py:431-437)
+  * inpainting_mask [h, w] bool (kitti.py:413-414)
+  * meta: image_id = scene*10000 + frame, gt_cat / gt_ins at label res,
+    focal length parsed from the depth filename
+    (semKITTI_dataset.py:117)
+
+Deviations (documented fixes, SURVEY §7):
+  * per-scene deterministic id remap option replaces the reference's
+    per-sample order-of-appearance remap (kitti.py:350-358) so ids are
+    stable across a video clip;
+  * the precomputed ``pop_gt`` colorized target (kitti.py:381-387, an
+    external-notebook artifact) is reproduced on the fly via
+    ops.color.colorize_panoptic_np when ``with_color_target`` is set.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from .mask_generator import MaskingGenerator
+from .remap import remap_contiguous, remap_per_scene
+from .transforms import (
+    resize_rgb, normalize_imagenet, resize_label, resize_depth)
+from ..ops.bits import encode_bits_np
+
+_DEPTH_RE = re.compile(r"depth_([0-9]+(?:\.[0-9]+)?)")
+
+
+class KittiDVPS:
+    """SemKITTI-DVPS loader. ``num_bits=5`` per map -> 10 bit channels."""
+
+    NUM_THING_PLUS_STUFF = 19  # cityscapes-style 19 classes (kitti.py:63-83)
+
+    def __init__(
+        self,
+        prefix: str,
+        split: str = "train",
+        size: Tuple[int, int] = (192, 640),
+        num_classes: int = 30,
+        num_bits: int = 5,
+        ignore_label: int = 0,
+        fill_value: float = 0.5,
+        inpainting_strength: float = 0.0,
+        inpaint_mask_size: Tuple[int, int] = (64, 64),
+        encoding_mode: str = "bits",
+        remap_mode: str = "per_sample",  # 'per_sample' | 'per_scene'
+        with_color_target: bool = False,
+        seed: int = 0,
+    ):
+        assert split in ("train", "val", "test")
+        assert encoding_mode in ("bits", "none")
+        self.root = prefix
+        self.split = split
+        self.size = size
+        self.num_classes = num_classes
+        self.num_bits = num_bits
+        self.ignore_label = ignore_label
+        self.fill_value = fill_value
+        self.encoding_mode = encoding_mode
+        self.remap_mode = remap_mode
+        self.with_color_target = with_color_target
+        self.seed = seed
+        self.inpainting_strength = inpainting_strength
+        self.maskgen = MaskingGenerator(input_size=inpaint_mask_size,
+                                        mode="random_local")
+        self.samples = self._index(os.path.join(prefix, split))
+        self._scene_tables: dict = {}
+
+    @staticmethod
+    def _index(image_dir: str) -> list:
+        """Group files into complete (rgb, class, instance, depth) frames
+        (kitti.py:155-194)."""
+        table: dict = {}
+        if not os.path.isdir(image_dir):
+            return []
+        for file in sorted(os.listdir(image_dir)):
+            base, ext = os.path.splitext(file)
+            if ext.lower() != ".png":
+                continue
+            parts = base.split("_")
+            if len(parts) >= 4 and parts[2] == "gtFine":
+                scene, frame, typ = parts[0], parts[1], parts[3]
+            elif len(parts) == 3 and parts[2] == "leftImg8bit":
+                scene, frame, typ = parts[0], parts[1], "leftImg8bit"
+            elif len(parts) >= 4 and parts[2] == "depth":
+                scene, frame, typ = parts[0], parts[1], "depth"
+            else:
+                continue
+            table.setdefault(scene, {}).setdefault(frame, {})[typ] = \
+                os.path.join(image_dir, file)
+        samples = []
+        for scene in table.values():
+            for frame in scene.values():
+                if all(k in frame for k in
+                       ("leftImg8bit", "class", "instance", "depth")):
+                    samples.append(frame)
+        return samples
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _rng(self, idx: int, epoch: int = 0) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx]))
+
+    def scene_frame(self, idx: int) -> tuple[int, int]:
+        base = os.path.basename(self.samples[idx]["leftImg8bit"])
+        parts = base.split("_")
+        return int(parts[0]), int(parts[1])
+
+    def __getitem__(self, idx: int, epoch: int = 0) -> dict:
+        paths = self.samples[idx]
+        rng = self._rng(idx, epoch)
+        h, w = self.size
+
+        image = resize_rgb(Image.open(paths["leftImg8bit"]), self.size)
+        image = normalize_imagenet(image)
+
+        sem_raw = resize_label(Image.open(paths["class"]), self.size)
+        inst_raw = resize_label(Image.open(paths["instance"]), self.size)
+        depth = resize_depth(Image.open(paths["depth"]), self.size)
+
+        scene, frame = self.scene_frame(idx)
+
+        # validity: raw class 0/255 are unlabeled (kitti.py:375-378)
+        mask = np.ones((h, w), dtype=np.uint8)
+        mask[(sem_raw == 0) | (sem_raw == 255)] = 0
+
+        # id remap into [0, num_classes)
+        if self.remap_mode == "per_scene":
+            table = self._scene_tables.setdefault(("sem", scene), {})
+            semseg = remap_per_scene(sem_raw, table, self.num_classes,
+                                     self.ignore_label)
+        else:
+            semseg, _ = remap_contiguous(sem_raw, self.ignore_label)
+        assert semseg.max() < self.num_classes
+
+        # instance compaction to 0..K (kitti.py:419-424)
+        if self.remap_mode == "per_scene":
+            table = self._scene_tables.setdefault(("ins", scene), {})
+            instance = remap_per_scene(inst_raw, table, 2**self.num_bits,
+                                       0)
+        else:
+            instance, _ = remap_contiguous(inst_raw, 0)
+        instance = np.minimum(instance, 2**self.num_bits - 2)
+
+        sample = {
+            "image": image,
+            "semseg": semseg.astype(np.int32),
+            "instance": instance.astype(np.int32),
+            "depth": depth,
+            "mask": mask,
+            "text": "",
+        }
+
+        if self.encoding_mode == "bits":
+            seg_bits, _ = encode_bits_np(semseg, self.num_bits,
+                                         ignore_label=self.ignore_label,
+                                         fill_value=self.fill_value)
+            ins_bits, _ = encode_bits_np(instance, self.num_bits,
+                                         ignore_label=None)
+            sample["image_semseg"] = np.concatenate([seg_bits, ins_bits],
+                                                    axis=-1)
+        else:
+            sample["image_semseg"] = np.repeat(
+                semseg[..., None].astype(np.float32) / self.num_classes, 3,
+                axis=-1)
+
+        if self.with_color_target:
+            from ..ops.color import random_color_map, colorize_panoptic_np
+            cmap = random_color_map(20)
+            pop = semseg.astype(np.int64) * 100 + instance.astype(np.int64)
+            sample["color_target"] = colorize_panoptic_np(pop, cmap)
+
+        sample["inpainting_mask"] = self.maskgen(
+            t=self.inpainting_strength, rng=rng).astype(bool)
+
+        focal = None
+        m = _DEPTH_RE.search(os.path.basename(paths["depth"]))
+        if m:
+            focal = float(m.group(1))
+        sample["meta"] = {
+            "im_size": (h, w),
+            "image_file": paths["leftImg8bit"],
+            "image_id": scene * 10000 + frame,
+            "scene": scene,
+            "frame": frame,
+            "focal": focal,
+            "gt_cat": sem_raw.astype(np.int32),
+            "gt_ins": inst_raw.astype(np.int32),
+        }
+        return sample
+
+    def __str__(self):
+        return f"KittiDVPS(split={self.split}, n={len(self)})"

@@ -1,0 +1,148 @@
+"""Shared Flax building blocks (NHWC, TPU-native).
+
+These cover the small set of layers the reference pulls from torch /
+diffusers: LayerNorm2d (detectron2 style, vae.py:310-323), the
+ResnetBlock2D / UNetMidBlock2D pair (diffusers, used by the VAEs), and
+timestep embeddings (diffusers ``Timesteps`` + ``TimestepEmbedding``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class LayerNorm2d(nn.Module):
+    """Per-pixel channel layer norm (reference vae.py:310-323).
+
+    In NHWC this is a plain LayerNorm over the trailing channel axis.
+    """
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.LayerNorm(epsilon=self.eps, use_bias=True, use_scale=True,
+                            name="ln")(x)
+
+
+class ResnetBlock(nn.Module):
+    """diffusers-style ResnetBlock2D: GN-silu-conv ×2 + skip, optional
+    time-embedding bias added between the halves."""
+
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-6
+    use_conv_shortcut: bool = False
+    output_scale_factor: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
+        if in_channels != self.out_channels:
+            if self.use_conv_shortcut:
+                x = nn.Conv(self.out_channels, (3, 3), padding=1,
+                            name="conv_shortcut")(x)
+            else:
+                x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut")(x)
+        return (x + h) / self.output_scale_factor
+
+
+class AttentionBlock2D(nn.Module):
+    """Single-head spatial self-attention over HW tokens (diffusers VAE
+    mid-block attention)."""
+
+    channels: int
+    groups: int = 32
+    eps: float = 1e-6
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        residual = x
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         name="group_norm")(x)
+        y = y.reshape(b, h * w, c)
+        q = nn.Dense(c, name="to_q")(y)
+        k = nn.Dense(c, name="to_k")(y)
+        v = nn.Dense(c, name="to_v")(y)
+        hd = c // self.num_heads
+        q = q.reshape(b, -1, self.num_heads, hd)
+        k = k.reshape(b, -1, self.num_heads, hd)
+        v = v.reshape(b, -1, self.num_heads, hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        attn = nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h * w, c)
+        y = nn.Dense(c, name="to_out")(y)
+        return residual + y.reshape(b, h, w, c)
+
+
+class MidBlock2D(nn.Module):
+    """diffusers UNetMidBlock2D without cross-attention: resnet (+ optional
+    self-attn) + resnet. Used by the VAEs (vae.py:137-146, add_attention
+    False for the seg VAE; True with one head for AutoencoderKL)."""
+
+    channels: int
+    groups: int = 32
+    eps: float = 1e-6
+    add_attention: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
+                        name="resnet0")(x, temb)
+        if self.add_attention:
+            x = AttentionBlock2D(self.channels, groups=self.groups,
+                                 eps=self.eps, name="attn0")(x)
+        x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
+                        name="resnet1")(x, temb)
+        return x
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers ``get_timestep_embedding``
+    with the SD flags flip_sin_to_cos=True, freq_shift=0)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP on top of the sinusoidal embedding (diffusers)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, emb: jnp.ndarray) -> jnp.ndarray:
+        emb = nn.Dense(self.dim, name="linear_1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.dim, name="linear_2")(emb)
+        return emb

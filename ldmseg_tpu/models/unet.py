@@ -1,0 +1,511 @@
+"""SD-style denoising UNet — Flax redesign of the reference ``UNet``
+(ldmseg/models/unet.py:24-436, a surgered diffusers UNet2DConditionModel).
+
+Architecture (Stable-Diffusion v1-4): conv_in -> 3x CrossAttnDownBlock +
+DownBlock -> mid (resnet/attn/resnet) -> UpBlock + 3x CrossAttnUpBlock ->
+GN/silu/conv_out, with sinusoidal time embeddings. Channels-last, bf16
+friendly, everything static-shaped.
+
+Reference surgery mapped to config + param-tree transforms (not runtime
+mutation):
+  * ``modify_encoder`` 4->8(+cond) channel ``conv_in`` with per-slice init
+    modes copy/zero/mean/div/random (unet.py:124-233)
+    -> :func:`expand_conv_in` param transform.
+  * ``remove_cross_attention`` (unet.py:83-105) -> ``use_cross_attention=
+    False`` builds transformer blocks without attn2/norm2.
+  * ``separate_conv`` (unet.py:140-173): seg/img conv_in pair summed
+    (forward :352-355).
+  * ``separate_encoder`` (unet.py:42-63): duplicated image down path with
+    its own time embedding; image residuals added to seg skip connections
+    (forward :309-355), optional zero-init adaptor convs.
+  * ``define_upscaler`` (unet.py:65-81): upscaler head replacing conv_out.
+  * ``object_queries`` / ``encoder_hid_proj`` / input dropout
+    (unet.py:26-40, :121-122, :319-326).
+  * ``freeze_layers`` (unet.py:235-279) is an optimizer concern ->
+    :func:`freeze_filter` path predicates for optax masking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .layers import ResnetBlock, timestep_embedding, TimestepEmbedding
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """SD-1.4 defaults; see modify-able fields for the surgery knobs."""
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    attention_head_dim: int = 8  # = num heads (SD v1 semantics)
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    use_cross_attention: bool = True
+    # which blocks get transformers (SD: all but the last down / first up)
+    attn_down: Tuple[bool, ...] = (True, True, True, False)
+    # surgery knobs
+    cond_channels: int = 0
+    separate_conv: bool = False
+    separate_encoder: bool = False
+    add_adaptor: bool = False
+    upscaler_classes: int = 0  # >0 replaces conv_out with the upscaler head
+    upscaler_dim: int = 256
+    num_object_queries: int = 0
+    encoder_hid_dim: int = 0  # >0 adds encoder_hid_proj Linear
+    dropout: float = 0.0
+    dropout_mode: str = "standard"  # 'standard' | 'gaussian'
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self when ``context is None``.
+
+    Matches diffusers Attention: q/k/v without bias, out proj with bias.
+    """
+
+    query_dim: int
+    heads: int
+    context_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.query_dim
+        head_dim = inner // self.heads
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(context)
+        b, tq, _ = q.shape
+        tk = k.shape[1]
+        q = q.reshape(b, tq, self.heads, head_dim)
+        k = k.reshape(b, tk, self.heads, head_dim)
+        v = v.reshape(b, tk, self.heads, head_dim)
+        scale = head_dim**-0.5
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, tq, inner)
+        return nn.Dense(inner, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers): proj to 2*4*dim, gate with gelu."""
+
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * self.mult * 2, name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    context_dim: int
+    use_cross_attention: bool = True
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        h = nn.LayerNorm(name="norm1")(x)
+        x = x + CrossAttention(self.dim, self.heads, name="attn1")(h)
+        if self.use_cross_attention:
+            h = nn.LayerNorm(name="norm2")(x)
+            x = x + CrossAttention(self.dim, self.heads,
+                                   context_dim=self.context_dim,
+                                   name="attn2")(h, context)
+        h = nn.LayerNorm(name="norm3")(x)
+        x = x + FeedForward(self.dim, name="ff")(h)
+        return x
+
+
+class Transformer2D(nn.Module):
+    """GN -> 1x1 conv in -> transformer block(s) -> 1x1 conv out + res."""
+
+    channels: int
+    heads: int
+    context_dim: int
+    depth: int = 1
+    groups: int = 32
+    use_cross_attention: bool = True
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        b, h, w, c = x.shape
+        residual = x
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
+                         name="norm")(x)
+        y = nn.Conv(self.channels, (1, 1), name="proj_in")(y)
+        y = y.reshape(b, h * w, self.channels)
+        for i in range(self.depth):
+            y = BasicTransformerBlock(
+                self.channels, self.heads, self.context_dim,
+                use_cross_attention=self.use_cross_attention,
+                name=f"block{i}")(y, context)
+        y = y.reshape(b, h, w, self.channels)
+        y = nn.Conv(self.channels, (1, 1), name="proj_out")(y)
+        return y + residual
+
+
+class Downsample(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=1,
+                       name="conv")(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, name="conv")(x)
+
+
+class DownBlock(nn.Module):
+    out_channels: int
+    num_layers: int
+    has_attn: bool
+    heads: int
+    context_dim: int
+    groups: int
+    eps: float
+    add_downsample: bool
+    use_cross_attention: bool
+
+    @nn.compact
+    def __call__(self, x, temb, context=None):
+        res_outputs = []
+        for i in range(self.num_layers):
+            x = ResnetBlock(self.out_channels, groups=self.groups,
+                            eps=self.eps, name=f"resnet{i}")(x, temb)
+            if self.has_attn:
+                x = Transformer2D(self.out_channels, self.heads,
+                                  self.context_dim, groups=self.groups,
+                                  use_cross_attention=self.use_cross_attention,
+                                  name=f"attn{i}")(x, context)
+            res_outputs.append(x)
+        if self.add_downsample:
+            x = Downsample(self.out_channels, name="downsample")(x)
+            res_outputs.append(x)
+        return x, res_outputs
+
+
+class UpBlock(nn.Module):
+    out_channels: int
+    num_layers: int
+    has_attn: bool
+    heads: int
+    context_dim: int
+    groups: int
+    eps: float
+    add_upsample: bool
+    use_cross_attention: bool
+
+    @nn.compact
+    def __call__(self, x, res_samples, temb, context=None):
+        for i in range(self.num_layers):
+            res = res_samples.pop()
+            x = jnp.concatenate([x, res], axis=-1)
+            x = ResnetBlock(self.out_channels, groups=self.groups,
+                            eps=self.eps, name=f"resnet{i}")(x, temb)
+            if self.has_attn:
+                x = Transformer2D(self.out_channels, self.heads,
+                                  self.context_dim, groups=self.groups,
+                                  use_cross_attention=self.use_cross_attention,
+                                  name=f"attn{i}")(x, context)
+        if self.add_upsample:
+            x = Upsample(self.out_channels, name="upsample")(x)
+        return x
+
+
+class MidBlockCrossAttn(nn.Module):
+    channels: int
+    heads: int
+    context_dim: int
+    groups: int
+    eps: float
+    use_cross_attention: bool
+
+    @nn.compact
+    def __call__(self, x, temb, context=None):
+        x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
+                        name="resnet0")(x, temb)
+        x = Transformer2D(self.channels, self.heads, self.context_dim,
+                          groups=self.groups,
+                          use_cross_attention=self.use_cross_attention,
+                          name="attn")(x, context)
+        x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
+                        name="resnet1")(x, temb)
+        return x
+
+
+class UpscalerHead(nn.Module):
+    """define_upscaler head (unet.py:65-81): conv -> convT x2 -> LN2d ->
+    silu -> conv -> GN -> silu -> conv(num_classes)."""
+
+    num_classes: int
+    dim: int = 256
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        from .layers import LayerNorm2d
+        h = nn.Conv(self.dim, (3, 3), padding=1, name="conv1")(x)
+        h = nn.ConvTranspose(self.dim, (2, 2), strides=(2, 2),
+                             padding="VALID", name="convt")(h)
+        h = LayerNorm2d(name="ln")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.dim, (3, 3), padding=1, name="conv2")(h)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(h)
+        h = nn.silu(h)
+        return nn.Conv(self.num_classes, (3, 3), padding=1, name="conv3")(h)
+
+
+class UNet2DCondition(nn.Module):
+    """The denoiser. ``sample`` is ``[B, H, W, C_in(+cond)]``; timesteps
+    ``[B]`` or scalar; context ``[B, T, cross_attention_dim]`` or None."""
+
+    config: UNetConfig = UNetConfig()
+
+    def _temb(self, mlp, timesteps, batch):
+        cfg = self.config
+        t = jnp.asarray(timesteps)
+        if t.ndim == 0:
+            t = jnp.broadcast_to(t, (batch,))
+        emb = timestep_embedding(t, cfg.block_out_channels[0],
+                                 flip_sin_to_cos=cfg.flip_sin_to_cos,
+                                 downscale_freq_shift=cfg.freq_shift)
+        return mlp(emb)
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+        timesteps_img: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        b = sample.shape[0]
+        heads = cfg.attention_head_dim
+        ctx_dim = cfg.cross_attention_dim
+
+        # 1. time embeddings (forward :301-316); the image branch uses its
+        # own timestep (0 by default) through the SAME shared MLP
+        # (reference self.time_embedding serves both branches).
+        temb_mlp = TimestepEmbedding(cfg.block_out_channels[0] * 4,
+                                     name="time_embedding")
+        emb = self._temb(temb_mlp, timesteps, b)
+        if cfg.separate_encoder:
+            t_img = timesteps_img if timesteps_img is not None else \
+                jnp.zeros((), jnp.int32)
+            emb_img = self._temb(temb_mlp, t_img, b)
+
+        # 2. conditioning pre-process (forward :319-323)
+        context = encoder_hidden_states
+        if cfg.encoder_hid_dim > 0 and context is not None:
+            context = nn.Dense(ctx_dim, name="encoder_hid_proj")(context)
+        if cfg.num_object_queries > 0:
+            oq = self.param("object_queries", nn.initializers.normal(1.0),
+                            (cfg.num_object_queries, ctx_dim))
+            context = jnp.broadcast_to(oq[None], (b,) + oq.shape)
+
+        # input dropout (unet.py:26-36, :325-326)
+        if cfg.dropout > 0 and not deterministic:
+            if cfg.dropout_mode == "standard":
+                sample = nn.Dropout(cfg.dropout, deterministic=False)(sample)
+            else:  # gaussian (unet.py:478-491)
+                p = cfg.dropout / (1.0 - cfg.dropout)
+                std = (p / (1.0 - p)) ** 0.5
+                eps = 1.0 + std * jax.random.normal(
+                    self.make_rng("dropout"), sample.shape, sample.dtype)
+                sample = sample * eps
+
+        # 3a. input convolution(s) + optional separate image branch
+        c0 = cfg.block_out_channels[0]
+        down_extra = None
+        if cfg.separate_encoder:
+            # seg/img split (:330), image gets its own conv + down path
+            sample_seg, sample_img = jnp.split(sample, 2, axis=-1)
+            x_img = nn.Conv(c0, (3, 3), padding=1, name="conv_in_img")(
+                sample_img)
+            down_extra = [x_img]
+            ch = c0
+            for i, cout in enumerate(cfg.block_out_channels):
+                x_img, res = DownBlock(
+                    cout, cfg.layers_per_block,
+                    has_attn=cfg.attn_down[i], heads=heads,
+                    context_dim=ctx_dim, groups=cfg.norm_num_groups,
+                    eps=cfg.norm_eps,
+                    add_downsample=i < len(cfg.block_out_channels) - 1,
+                    use_cross_attention=cfg.use_cross_attention,
+                    name=f"down_blocks_img{i}")(x_img, emb_img, context)
+                if cfg.add_adaptor:
+                    res = [nn.Conv(r.shape[-1], (3, 3), padding=1,
+                                   kernel_init=nn.initializers.zeros,
+                                   bias_init=nn.initializers.zeros,
+                                   name=f"adaptor{i}_{j}")(r)
+                           for j, r in enumerate(res)]
+                down_extra.extend(res)
+                ch = cout
+            x = nn.Conv(c0, (3, 3), padding=1, name="conv_in")(sample_seg)
+        elif cfg.separate_conv:
+            # summed separate convs (:352-355)
+            sample_seg, sample_img = jnp.split(sample, 2, axis=-1)
+            x = nn.Conv(c0, (3, 3), padding=1, name="conv_in_seg")(sample_seg) \
+                + nn.Conv(c0, (3, 3), padding=1, name="conv_in")(sample_img)
+        else:
+            x = nn.Conv(c0, (3, 3), padding=1, name="conv_in")(sample)
+
+        # 3b. down blocks (:359-373)
+        res_stack = [x]
+        for i, cout in enumerate(cfg.block_out_channels):
+            x, res = DownBlock(
+                cout, cfg.layers_per_block, has_attn=cfg.attn_down[i],
+                heads=heads, context_dim=ctx_dim,
+                groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+                add_downsample=i < len(cfg.block_out_channels) - 1,
+                use_cross_attention=cfg.use_cross_attention,
+                name=f"down_blocks{i}")(x, emb, context)
+            res_stack.extend(res)
+
+        # 4. add image-branch residuals (:375-385)
+        if down_extra is not None:
+            res_stack = [r + e for r, e in zip(res_stack, down_extra)]
+
+        # 5. mid (:387-395)
+        x = MidBlockCrossAttn(
+            cfg.block_out_channels[-1], heads, ctx_dim,
+            groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+            use_cross_attention=cfg.use_cross_attention,
+            name="mid_block")(x, emb, context)
+
+        # 6. up blocks (:400-425)
+        rev = list(reversed(cfg.block_out_channels))
+        attn_up = tuple(reversed(cfg.attn_down))
+        for i, cout in enumerate(rev):
+            n_res = cfg.layers_per_block + 1
+            res_samples = res_stack[-n_res:]
+            res_stack = res_stack[:-n_res]
+            x = UpBlock(
+                cout, n_res, has_attn=attn_up[i], heads=heads,
+                context_dim=ctx_dim, groups=cfg.norm_num_groups,
+                eps=cfg.norm_eps,
+                add_upsample=i < len(rev) - 1,
+                use_cross_attention=cfg.use_cross_attention,
+                name=f"up_blocks{i}")(x, res_samples, emb, context)
+
+        # 7. out head (:427-431)
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
+                         name="conv_norm_out")(x)
+        x = nn.silu(x)
+        if cfg.upscaler_classes > 0:
+            return UpscalerHead(cfg.upscaler_classes, cfg.upscaler_dim,
+                                cfg.norm_num_groups, name="upscaler")(x)
+        return nn.Conv(cfg.out_channels, (3, 3), padding=1,
+                       name="conv_out")(x)
+
+
+# ---------------------------------------------------------------------------
+# Param-tree surgery (replaces the reference's runtime module mutation)
+# ---------------------------------------------------------------------------
+
+def _expand_slice(base: np.ndarray, mode: str, rng: np.random.RandomState,
+                  fan_in: int) -> np.ndarray:
+    """One 4-channel slice of the expanded conv_in kernel.
+
+    base: ``[3, 3, 4, 320]`` flax kernel of the pretrained conv_in.
+    Modes per unet.py:185-210: copy / div (NOTE: the reference's
+    ``.copy_(w) / 2.`` divides the *return value*, not the stored weight —
+    an upstream bug; we implement the intended divide-by-2) / mean / zero /
+    random.
+    """
+    if mode == "copy":
+        return base.copy()
+    if mode == "div":
+        return base / 2.0
+    if mode == "mean":
+        return np.repeat(base.mean(axis=2, keepdims=True), base.shape[2],
+                         axis=2)
+    if mode == "zero":
+        return np.zeros_like(base)
+    if mode == "random":
+        # kaiming-uniform bound like a fresh torch Conv2d
+        bound = 1.0 / np.sqrt(fan_in)
+        return rng.uniform(-bound, bound, size=base.shape).astype(base.dtype)
+    raise NotImplementedError(f"init mode {mode!r}")
+
+
+def expand_conv_in(
+    params: dict,
+    init_mode_seg: str = "copy",
+    init_mode_image: str = "zero",
+    cond_channels: int = 0,
+    init_mode_cond: str = "zero",
+    seed: int = 0,
+) -> dict:
+    """Expand a pretrained 4-ch ``conv_in`` kernel to ``8 + cond`` channels
+    (reference ``modify_encoder``, unet.py:178-233) as a pure param-tree
+    transform. The bias is kept (:213)."""
+    import copy as _copy
+    params = _copy.deepcopy(params)
+    tree = params["params"] if "params" in params else params
+    conv = tree["conv_in"]
+    kernel = np.asarray(conv["kernel"])  # [3, 3, 4, 320]
+    assert kernel.shape[2] == 4, "conv_in must start from the SD 4-ch kernel"
+    rng = np.random.RandomState(seed)
+    fan_in = (8 + cond_channels) * kernel.shape[0] * kernel.shape[1]
+    parts = [
+        _expand_slice(kernel, init_mode_seg, rng, fan_in),
+        _expand_slice(kernel, init_mode_image, rng, fan_in),
+    ]
+    if cond_channels > 0:
+        cond = _expand_slice(kernel, init_mode_cond, rng, fan_in)
+        # reference only ever uses 4-ch conditioning; tile/trim otherwise
+        reps = -(-cond_channels // 4)
+        cond = np.tile(cond, (1, 1, reps, 1))[:, :, :cond_channels]
+        parts.append(cond)
+    new_kernel = np.concatenate(parts, axis=2)
+    conv["kernel"] = jnp.asarray(new_kernel)
+    return params
+
+
+def freeze_filter(layers: Tuple[str, ...] = ("norm", "time_embedding")):
+    """Path predicate for optax masking, mirroring ``freeze_layers``
+    (unet.py:235-279): returns True for paths whose updates must be ZEROED.
+    """
+    from ..train.optim import is_norm_param, _path_str
+
+    def fn(path) -> bool:
+        s = _path_str(path)
+        for layer in layers:
+            if layer == "norm" and is_norm_param(path):
+                return True
+            if layer == "time_embedding" and "time_embedding" in s:
+                return True
+            if layer == "conv_in" and ("conv_in_img" in s):
+                return True
+            if layer == "down_blocks" and "down_blocks_img" in s:
+                return True
+        return False
+
+    return fn

@@ -1,0 +1,87 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallelism is DDP data-parallel with optional ZeRO-1
+optimizer-state sharding (SURVEY §2: torch DDP `tools/main_ldm.py:189-193`,
+``ZeroRedundancyOptimizer`` `ldmseg/trainers/optim.py:102-126`). The
+TPU-native equivalents:
+
+  * DDP            -> batch sharded over a 1-D ``data`` mesh axis; gradient
+                      all-reduce is inserted by XLA from the shardings.
+  * ZeRO-1         -> optimizer-state leaves sharded over ``data`` on their
+                      largest divisible axis (jax.sharding.NamedSharding).
+  * NCCL           -> ICI/DCN collectives, chosen by the compiler.
+
+A second ``model`` axis is laid out for headroom (the reference never
+shards parameters; models fit per chip), so meshes are created as
+``(data, model)`` with ``model=1`` by default.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_data: Optional[int] = None,
+    num_model: int = 1,
+    devices: Optional[list] = None,
+) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if num_data is None:
+        num_data = len(devices) // num_model
+    devs = np.asarray(devices[: num_data * num_model]).reshape(
+        num_data, num_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a host batch with the leading axis sharded over ``data``."""
+    def put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_spec(ndim: int) -> P:
+    return P("data", *([None] * (ndim - 1)))
+
+
+def param_sharding(mesh: Mesh, params) -> object:
+    """Replicated parameter shardings (pure data parallel)."""
+    return jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), params)
+
+
+def zero1_opt_state_sharding(mesh: Mesh, opt_state) -> object:
+    """ZeRO-1 style sharding: each optimizer-state leaf is sharded over the
+    ``data`` axis along its largest evenly-divisible dimension; leaves that
+    cannot be divided stay replicated.
+
+    This mirrors ``ZeroRedundancyOptimizer`` (reference optim.py:102-126):
+    the optimizer state (adam moments) is partitioned across data-parallel
+    workers while parameters remain replicated.
+    """
+    n = mesh.shape["data"]
+
+    def spec_for(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return NamedSharding(mesh, P())
+        for axis in range(x.ndim):
+            if x.shape[axis] % n == 0 and x.shape[axis] >= n:
+                parts: list = [None] * x.ndim
+                parts[axis] = "data"
+                return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_for, opt_state)

@@ -1,0 +1,90 @@
+"""Stage-2 LDM training entry point.
+
+Mirrors tools/main_ldm.py: builds the frozen RGB VAE (SD AutoencoderKL
+encoder), the stage-1 seg VAE (optionally from a checkpoint), the surgered
+UNet (conv_in expansion, cross-attn removal per ``image_descriptors``),
+the DDIM schedule, and runs TrainerDiffusion.
+
+SD-1.4 weights load from a LOCAL diffusers checkpoint directory via
+``models/torch_import.py`` (zero-egress environment — no downloads);
+without weights the models start from random init (useful for pipeline
+smoke runs and scratch training).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .main_ae import DATASET_PRESETS, build_datasets
+
+
+def main(argv=None):
+    from ldmseg_tpu.utils.config import (
+        load_config, parse_dot_overrides, prepare_config, merge_dicts)
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+    from ldmseg_tpu.models import UNetConfig, expand_conv_in
+
+    argv = argv if argv is not None else sys.argv[1:]
+    overrides = parse_dot_overrides(argv)
+    dataset = overrides.pop("datasets", "synthetic")
+    config_path = overrides.pop("config", None)
+    prefix = overrides.pop("data_prefix", None)
+    output_dir = overrides.pop("output_dir", "/tmp/ldmseg_tpu_ldm")
+    run_idx = overrides.pop("run_idx", -1)
+
+    cfg = load_config(config_path)
+    cfg = merge_dicts(cfg, DATASET_PRESETS.get(dataset, {}))
+    cfg = merge_dicts(cfg, overrides)
+    cfg = prepare_config(cfg, output_dir, run_idx)
+    print(f"Run dir: {cfg['output_dir']}")
+
+    train_ds, val_ds = build_datasets(cfg, prefix)
+    trainer = TrainerDiffusion(cfg, dataset=train_ds, val_dataset=val_ds,
+                               results_folder=cfg["checkpoint_dir"])
+
+    # ----- weight ingestion (main_ldm.py:138-169) -----
+    unet_params = None
+    vae_img_params = None
+    pretrained = cfg.get("pretrained_model_path")
+    if pretrained:
+        from ldmseg_tpu.models.torch_import import (
+            load_diffusers_unet, load_diffusers_vae)
+        mk = cfg["model_kwargs"]
+        unet_params = load_diffusers_unet(
+            pretrained, trainer.unet_config)
+        unet_params = expand_conv_in(
+            unet_params,
+            init_mode_seg=mk.get("init_mode_seg", "copy"),
+            init_mode_image=mk.get("init_mode_image", "zero"),
+            cond_channels=mk.get("cond_channels", 0),
+            init_mode_cond=mk.get("init_mode_cond", "zero"))
+        vae_img_params = load_diffusers_vae(pretrained,
+                                            decoder_enabled=False)
+
+    vae_seg_params = None
+    seg_path = cfg["vae_model_kwargs"].get("pretrained_path")
+    if seg_path:
+        # stage-1 -> stage-2 handoff (vae.py:117-122): orbax checkpoint
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(seg_path)
+        vae_seg_params = restored["params"]
+
+    from ldmseg_tpu.data import Loader
+    batch = next(iter(Loader(train_ds, cfg["train_kwargs"]["batch_size"],
+                             shuffle=False)))
+    trainer.init_state(batch, unet_params=unet_params,
+                       vae_seg_params=vae_seg_params,
+                       vae_img_params=vae_img_params)
+    trainer.resume()
+
+    if cfg.get("eval_only"):
+        print(trainer.compute_pq(max_batches=8))
+        return
+
+    trainer.train_loop()
+    trainer.save()
+    print(trainer.compute_pq(max_batches=4, save_model=True))
+
+
+if __name__ == "__main__":
+    main()

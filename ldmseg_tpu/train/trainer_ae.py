@@ -1,0 +1,296 @@
+"""Stage-1 segmentation-VAE trainer.
+
+Reference: ldmseg/trainers/trainers_ae.py (``TrainerAE``). The torch
+god-object (dataloaders + DDP + AMP + python batch loop) becomes:
+
+  * one pure jitted ``train_step`` (forward + point losses + KL + optax
+    update) with donated state, compiled once,
+  * batch sharding over the ``data`` mesh axis (DDP equivalent — XLA
+    inserts the gradient all-reduce),
+  * host-side loop for data, meters, checkpoints, eval.
+
+Loss = weighted {ce, mask, kl} (trainers_ae.py:239-259) with the optional
+input-corruption mask (prob_inpainting, :303-311) and latent valid mask
+(:313-321). Eval: mIoU (:947) and panoptic quality via the greedy
+evaluator (:624-727). Checkpoint/resume via orbax with the reference's
+logical layout {step, epoch, vae, opt} (:534-587).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import SegVAE
+from ..losses import PointLossConfig, point_losses
+from ..parallel import make_mesh, shard_batch, replicate
+from ..utils.meters import AverageMeter, ProgressMeter
+from .optim import make_optimizer, make_lr_schedule
+from .state import TrainState
+
+
+class TrainerAE:
+    def __init__(self, p: dict, dataset=None, val_dataset=None,
+                 mesh=None, results_folder: Optional[str] = None):
+        self.p = p
+        tk = p["train_kwargs"]
+        vk = dict(p["vae_model_kwargs"])
+        vk.pop("pretrained_path", None)
+        vk["block_out_channels"] = tuple(vk["block_out_channels"])
+        self.vae = SegVAE(**vk)
+        self.num_classes = vk["out_channels"]
+        self.ignore_label = p["ignore_label"]
+        self.batch_size = tk["batch_size"]
+        self.train_num_steps = tk["train_num_steps"]
+        self.prob_inpainting = tk.get("prob_inpainting", 0.0)
+        self.latent_mask = tk.get("latent_mask", False)
+        self.loss_weights = p["loss_weights"]
+        self.compute_dtype = jnp.bfloat16 if tk.get("weight_dtype") == \
+            "bfloat16" else jnp.float32
+        self.loss_cfg = PointLossConfig(
+            num_points=p["loss_kwargs"]["num_points"],
+            oversample_ratio=p["loss_kwargs"]["oversample_ratio"],
+            importance_sample_ratio=p["loss_kwargs"][
+                "importance_sample_ratio"],
+            ignore_label=self.ignore_label,
+            temperature=p["loss_kwargs"]["temperature"],
+            max_masks=p["loss_kwargs"].get("max_masks", 32),
+        )
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.ds = dataset
+        self.ds_val = val_dataset
+        self.results_folder = results_folder or p.get("checkpoint_dir",
+                                                      "/tmp/ldmseg_ae")
+        os.makedirs(self.results_folder, exist_ok=True)
+
+        schedule = make_lr_schedule(
+            p.get("lr_scheduler_name", "warmup"),
+            p["optimizer_kwargs"]["lr"],
+            self.train_num_steps,
+            warmup_iters=p["lr_scheduler_kwargs"].get("warmup_iters", 200),
+            final_lr=p["lr_scheduler_kwargs"].get("final_lr", 1e-6),
+        )
+        self.tx = make_optimizer(
+            p.get("optimizer_name", "adamw"),
+            learning_rate=schedule,
+            betas=tuple(p["optimizer_kwargs"].get("betas", (0.9, 0.999))),
+            weight_decay=p["optimizer_kwargs"].get("weight_decay", 0.0),
+            weight_decay_norm=p["optimizer_kwargs"].get("weight_decay_norm"),
+            clip_grad=tk.get("clip_grad", 0.0),
+        )
+        self.state = None
+        self.epoch = 0
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0,))
+        self._eval_decode = jax.jit(self._eval_decode_impl)
+
+    # ------------------------------------------------------------------
+    def init_state(self, sample_batch: dict, seed: int = 0) -> TrainState:
+        x = jnp.asarray(sample_batch["image_semseg"][:1], self.compute_dtype)
+        params = jax.jit(functools.partial(
+            self.vae.init, sample_posterior=False))(
+            {"params": jax.random.key(seed), "sample": jax.random.key(0)},
+            2.0 * x - 1.0)
+        params = replicate(self.mesh, params)
+        self.state = TrainState.create(
+            params, self.tx, ema=self.p.get("ema_on", False),
+            mesh=self.mesh,
+            zero1=self.p.get("optimizer_zero_redundancy", False))
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _forward_loss(self, params, batch, key):
+        key_sample, key_mask, key_points = jax.random.split(key, 3)
+        images = 2.0 * batch["image_semseg"].astype(self.compute_dtype) - 1.0
+        targets = batch["semseg"]
+
+        corrupt_mask = None
+        if self.prob_inpainting > 0:
+            # random block corruption (trainers_ae.py:303-311): per-sample
+            # strength, 32x32 noise upsampled, valid regions only
+            b = images.shape[0]
+            k1, k2 = jax.random.split(key_mask)
+            strengths = jax.random.uniform(k1, (b, 1, 1)) * \
+                self.prob_inpainting
+            noise = jax.random.uniform(k2, (b, 32, 32)) < strengths
+            h, w = images.shape[1:3]
+            m = jax.image.resize(noise.astype(jnp.float32), (b, h, w),
+                                 "nearest")
+            m = jnp.where(targets == self.ignore_label, 0.0, m)
+            images = jnp.where(m[..., None] > 0, 0.0, images)
+            corrupt_mask = m  # where 1 -> corrupted -> counted (see ref)
+
+        valid_mask = None
+        if self.latent_mask:
+            lh = images.shape[1] // self.vae.downsample_factor
+            lw = images.shape[2] // self.vae.downsample_factor
+            t = jax.image.resize(
+                targets[..., None].astype(jnp.float32),
+                (targets.shape[0], lh, lw, 1), "nearest")[..., 0]
+            valid_mask = (t != self.ignore_label).astype(self.compute_dtype)
+
+        logits, posterior = self.vae.apply(
+            params, images, sample_posterior=True, valid_mask=valid_mask,
+            rngs={"sample": key_sample})
+        logits = logits.astype(jnp.float32)
+
+        losses = point_losses(key_points, logits, targets, self.loss_cfg,
+                              corrupt_mask=None)
+        losses["kl"] = jnp.mean(posterior.kl())
+        total = sum(self.loss_weights[k] * v for k, v in losses.items())
+        return total, losses
+
+    def _train_step_impl(self, state: TrainState, batch: dict,
+                         key: jax.Array):
+        (loss, parts), grads = jax.value_and_grad(
+            self._forward_loss, has_aux=True)(state.params, batch, key)
+        new_state = state.apply_gradients(grads)
+        metrics = {"loss": loss, **parts}
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    def train_loop(self, seed: int = 0, log_every: int = 20,
+                   save_every: int = 1000, max_steps: Optional[int] = None):
+        assert self.ds is not None, "no training dataset"
+        from ..data import Loader
+        loader = Loader(self.ds, self.batch_size, seed=seed)
+        max_steps = max_steps or self.train_num_steps
+        meters = {k: AverageMeter(k, ":.4f")
+                  for k in ("loss", "ce", "mask", "kl")}
+        key = jax.random.key(seed)
+
+        step = int(self.state.step) if self.state is not None else 0
+        epoch = 0
+        t0 = time.time()
+        while step < max_steps:
+            for batch in loader.epoch(epoch):
+                if self.state is None:
+                    self.init_state(batch, seed)
+                db = shard_batch(self.mesh, {
+                    "image_semseg": batch["image_semseg"],
+                    "semseg": batch["semseg"],
+                })
+                key, sub = jax.random.split(key)
+                self.state, metrics = self._train_step(self.state, db, sub)
+                step += 1
+                if step % log_every == 0:
+                    m = jax.device_get(metrics)
+                    for k, meter in meters.items():
+                        meter.update(float(m[k]), self.batch_size)
+                    prog = ProgressMeter(max_steps, list(meters.values()),
+                                         prefix=f"Epoch [{epoch}]")
+                    prog.display(step)
+                if step % save_every == 0:
+                    self.save(step)
+                if step >= max_steps:
+                    break
+            epoch += 1
+        print(f"Training finished in {time.time() - t0:.1f}s")
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _eval_decode_impl(self, params, bits):
+        """Full-res logits for eval: encode(mode) -> decode(interp)
+        (trainers_ae.py:947-1010 path)."""
+        images = 2.0 * bits.astype(self.compute_dtype) - 1.0
+        posterior = self.vae.apply(params, images, method=SegVAE.encode)
+        logits = self.vae.apply(params, posterior.mode(), True,
+                                method=SegVAE.decode)
+        return logits.astype(jnp.float32)
+
+    def compute_miou(self, max_batches: Optional[int] = None,
+                     batch_size: Optional[int] = None) -> dict:
+        """mIoU of reconstruction on the val set (trainers_ae.py:947)."""
+        from ..data import Loader
+        from ..evals import SemsegMeter
+        assert self.ds_val is not None
+        meter = SemsegMeter(self.num_classes,
+                            ignore_index=self.ignore_label)
+        loader = Loader(self.ds_val, batch_size or self.batch_size,
+                        shuffle=False, drop_last=False)
+        for i, batch in enumerate(loader.epoch(0)):
+            logits = self._eval_decode(self.state.params,
+                                       jnp.asarray(batch["image_semseg"]))
+            h, w = batch["semseg"].shape[1:3]
+            logits = jax.image.resize(
+                logits, (logits.shape[0], h, w, logits.shape[-1]), "linear")
+            pred = jnp.argmax(logits, axis=-1)
+            meter.update(pred, jnp.asarray(batch["semseg"]))
+            if max_batches is not None and i + 1 >= max_batches:
+                break
+        meter.synchronize()
+        return meter.return_score()
+
+    def compute_pq(self, mask_th: float = 0.5, count_th: int = 128,
+                   overlap_th: float = 0.5,
+                   max_batches: Optional[int] = None) -> dict:
+        """Class-agnostic panoptic quality of reconstructions
+        (trainers_ae.py:624-727)."""
+        from ..data import Loader
+        from ..evals import PanopticEvaluator
+        from ..ops import panoptic_post_process
+        assert self.ds_val is not None
+        ev = PanopticEvaluator(thing_ids=set(), class_agnostic=True,
+                               ignore_label=self.ignore_label)
+        loader = Loader(self.ds_val, self.batch_size, shuffle=False,
+                        drop_last=False)
+        for i, batch in enumerate(loader.epoch(0)):
+            logits = self._eval_decode(self.state.params,
+                                       jnp.asarray(batch["image_semseg"]))
+            h, w = batch["semseg"].shape[1:3]
+            logits = jax.image.resize(
+                logits, (logits.shape[0], h, w, logits.shape[-1]), "linear")
+            cleaned, _ = panoptic_post_process(
+                logits, mask_th=mask_th, count_th=count_th,
+                overlap_th=overlap_th, ignore_label=self.ignore_label)
+            cleaned = np.asarray(cleaned)
+            for bi in range(cleaned.shape[0]):
+                ev.add_image(cleaned[bi], batch["semseg"][bi])
+            if max_batches is not None and i + 1 >= max_batches:
+                break
+        return ev.evaluate()
+
+    # ------------------------------------------------------------------
+    def save(self, step: Optional[int] = None):
+        """orbax checkpoint with the reference's logical content
+        (trainers_ae.py:534-548: step/epoch/vae/opt)."""
+        import orbax.checkpoint as ocp
+        path = os.path.join(os.path.abspath(self.results_folder),
+                            f"step_{step or int(self.state.step)}")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": self.state.params,
+                          "opt_state": self.state.opt_state,
+                          "step": np.asarray(self.state.step)},
+                   force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def resume(self, path: Optional[str] = None):
+        """Restore latest checkpoint (trainers_ae.py:550-573)."""
+        import orbax.checkpoint as ocp
+        root = os.path.abspath(self.results_folder)
+        if path is None:
+            cands = sorted(
+                (d for d in os.listdir(root) if d.startswith("step_")),
+                key=lambda d: int(d.split("_")[1]))
+            if not cands:
+                print("No checkpoint found; starting fresh")
+                return None
+            path = os.path.join(root, cands[-1])
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": self.state.params,
+                  "opt_state": self.state.opt_state,
+                  "step": np.asarray(self.state.step)}
+        restored = ckptr.restore(path, target)
+        self.state = self.state.replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"]))
+        print(f"Resumed from {path} at step {int(self.state.step)}")
+        return path

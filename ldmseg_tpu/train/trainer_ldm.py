@@ -1,0 +1,503 @@
+"""Stage-2 latent-diffusion trainer.
+
+Reference: ldmseg/trainers/trainers_ldm_cond.py (``TrainerDiffusion``).
+The design maps the reference's hot path onto three jitted programs:
+
+  * ``encode_step``  — frozen seg/RGB VAE encoders -> latents + loss mask
+                       (process_inputs, :679-767)
+  * ``train_step``   — noise/timestep draw, optional self-conditioning
+                       double-forward (stop-grad, :824-833), concat
+                       [noisy, rgb(, cond)] -> UNet -> masked MSE x SNR
+                       weights x OHEM (compute_loss, :530-619), optax
+                       update of the UNet only
+  * ``sample_step``  — the full 50-step DDIM loop as one lax.scan
+                       (sample, :1049-1173) + seg-VAE decode
+                       (decode_latents, :399-427)
+
+Deliberate fixes vs the reference (SURVEY §7): latents keep their true
+non-square shape (the reference resizes to (latent_size, latent_size),
+:381-392); sampling noise matches the rgb-latent spatial shape (:1092).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import SegVAE, ImageVAE, UNet2DCondition, UNetConfig
+from ..diffusion import (
+    make_ddim_schedule, add_noise, remove_noise, ddim_sample)
+from ..losses import diffusion_loss
+from ..parallel import make_mesh, shard_batch, replicate
+from ..utils.meters import AverageMeter, ProgressMeter
+from .optim import make_optimizer, make_lr_schedule
+from .state import TrainState
+
+
+class TrainerDiffusion:
+    def __init__(self, p: dict, unet_config: Optional[UNetConfig] = None,
+                 dataset=None, val_dataset=None, mesh=None,
+                 results_folder: Optional[str] = None):
+        self.p = p
+        tk = p["train_kwargs"]
+        vk = dict(p["vae_model_kwargs"])
+        vk.pop("pretrained_path", None)
+        vk["block_out_channels"] = tuple(vk["block_out_channels"])
+        self.vae_seg = SegVAE(**vk)
+        self.vae_img = ImageVAE(decoder_enabled=False)
+        self.seg_scale = vk.get("scaling_factor", 0.2)
+        self.img_scale = p.get("image_scaling_factor", 0.18215)
+        self.num_classes = vk["out_channels"]
+        self.ignore_label = p["ignore_label"]
+
+        mk = p["model_kwargs"]
+        self.self_condition = tk.get("self_condition", False)
+        cond_channels = mk.get("cond_channels", 0)
+        if self.self_condition and cond_channels == 0:
+            # the reference requires cond_channels=4 alongside
+            # self_condition (train_diffusion.sh); auto-correct here
+            cond_channels = 4
+        in_ch = mk.get("in_channels", 8) + cond_channels
+        if unet_config is None:
+            unet_config = UNetConfig(
+                in_channels=in_ch,
+                use_cross_attention=(
+                    tk.get("image_descriptors", "remove") != "remove"),
+                cond_channels=cond_channels,
+                separate_conv=mk.get("separate_conv", False),
+                separate_encoder=mk.get("separate_encoder", False),
+                add_adaptor=mk.get("add_adaptor", False),
+                dropout=tk.get("dropout", 0.0),
+            )
+        self.unet_config = unet_config
+        self.unet = UNet2DCondition(config=unet_config)
+
+        nk = p["noise_scheduler_kwargs"]
+        self.sched = make_ddim_schedule(**nk)
+        self.min_noise_level = tk.get("min_noise_level", 0)
+        self.rgb_noise_level = tk.get("rgb_noise_level", 0)
+        self.cond_noise_level = tk.get("cond_noise_level", 0)
+        self.prob_train_on_pred = tk.get("prob_train_on_pred", 0.0)
+        self.prob_inpainting = tk.get("prob_inpainting", 0.0)
+        self.type_mask = tk.get("type_mask", "ignore")
+        self.loss_type = tk.get("loss", "l2")
+        self.ohem_ratio = tk.get("ohem_ratio", 1.0)
+        self.sample_posterior = tk.get("sample_posterior", False)
+        self.sample_posterior_rgb = tk.get("sample_posterior_rgb", False)
+        self.batch_size = tk["batch_size"]
+        self.train_num_steps = tk["train_num_steps"]
+        self.compute_dtype = jnp.bfloat16 if tk.get("weight_dtype") == \
+            "bfloat16" else jnp.float32
+
+        ek = p["eval_kwargs"]
+        self.mask_th = ek.get("mask_th", 0.5)
+        self.count_th = ek.get("count_th", 512)
+        self.overlap_th = ek.get("overlap_th", 0.5)
+        sk = p["sampling_kwargs"]
+        self.num_inference_steps = sk.get("num_inference_steps", 50)
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.ds = dataset
+        self.ds_val = val_dataset
+        self.results_folder = results_folder or p.get("checkpoint_dir",
+                                                      "/tmp/ldmseg_ldm")
+        os.makedirs(self.results_folder, exist_ok=True)
+
+        schedule = make_lr_schedule(
+            p.get("lr_scheduler_name", "warmup"),
+            p["optimizer_kwargs"]["lr"],
+            self.train_num_steps,
+            warmup_iters=p["lr_scheduler_kwargs"].get("warmup_iters", 200),
+            final_lr=p["lr_scheduler_kwargs"].get("final_lr", 1e-6),
+        )
+        from ..models.unet import freeze_filter
+        from .optim import scale_by_path
+        frozen = tuple(tk.get("freeze_layers", ()))
+        lr_factor = None
+        if frozen:
+            flt = freeze_filter(frozen)
+            lr_factor = lambda path: 0.0 if flt(path) else 1.0  # noqa: E731
+        self.tx = make_optimizer(
+            p.get("optimizer_name", "adamw"),
+            learning_rate=schedule,
+            betas=tuple(p["optimizer_kwargs"].get("betas", (0.9, 0.999))),
+            weight_decay=p["optimizer_kwargs"].get("weight_decay", 0.0),
+            weight_decay_norm=p["optimizer_kwargs"].get("weight_decay_norm"),
+            clip_grad=tk.get("clip_grad", 0.0),
+            lr_factor_fn=lr_factor,
+        )
+
+        self.state: Optional[TrainState] = None
+        self.frozen_params: Optional[dict] = None
+        self.best_pq = -1.0
+
+        self._encode = jax.jit(self._encode_impl)
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0,))
+        self._sample_decode = jax.jit(
+            self._sample_decode_impl,
+            static_argnames=("num_inference_steps", "repeat_noise"))
+
+    # ------------------------------------------------------------------
+    # init
+    # ------------------------------------------------------------------
+    def init_state(self, sample_batch: dict, seed: int = 0,
+                   unet_params=None, vae_seg_params=None,
+                   vae_img_params=None):
+        """Initialize (or adopt pretrained) parameter trees."""
+        h, w = sample_batch["image"].shape[1:3]
+        f = 8
+        key = jax.random.key(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        if vae_img_params is None:
+            vae_img_params = jax.jit(functools.partial(
+                self.vae_img.init, method=ImageVAE.encode))(
+                {"params": k1}, jnp.zeros((1, h, w, 3)))
+        if vae_seg_params is None:
+            bits = sample_batch["image_semseg"].shape[-1]
+            vae_seg_params = jax.jit(
+                functools.partial(self.vae_seg.init,
+                                  sample_posterior=False))(
+                {"params": k2, "sample": jax.random.key(0)},
+                jnp.zeros((1, h, w, bits)))
+        if unet_params is None:
+            init_args = [
+                jnp.zeros((1, h // f, w // f,
+                           self.unet_config.in_channels)),
+                jnp.zeros((1,), jnp.int32)]
+            if self.unet_config.use_cross_attention:
+                # to_k/to_v infer the context dim at init
+                init_args.append(jnp.zeros(
+                    (1, 77, self.unet_config.cross_attention_dim)))
+            unet_params = jax.jit(self.unet.init)({"params": k3},
+                                                  *init_args)
+        self.frozen_params = replicate(self.mesh, {
+            "vae_img": vae_img_params, "vae_seg": vae_seg_params})
+        self.state = TrainState.create(
+            replicate(self.mesh, unet_params), self.tx,
+            ema=self.p.get("ema_on", False), mesh=self.mesh,
+            zero1=self.p.get("optimizer_zero_redundancy", False))
+        return self.state
+
+    # ------------------------------------------------------------------
+    # encoding (process_inputs, :679-767)
+    # ------------------------------------------------------------------
+    def _encode_impl(self, frozen, batch, key):
+        k_seg, k_rgb = jax.random.split(key)
+        bits = 2.0 * batch["image_semseg"].astype(jnp.float32) - 1.0
+        post_seg = self.vae_seg.apply(frozen["vae_seg"], bits,
+                                      method=SegVAE.encode)
+        if self.sample_posterior:
+            latents = post_seg.sample(k_seg) * self.seg_scale
+        else:
+            latents = post_seg.mode() * self.seg_scale
+        latents_mean = post_seg.mode() * self.seg_scale
+
+        # RGB path runs in the compute dtype (fp16 VAE in the reference,
+        # main_ldm.py:165-169 -> bf16 here)
+        rgb = 2.0 * _unnormalize_to01(
+            batch["image"]).astype(self.compute_dtype) - 1.0
+        post_rgb = self.vae_img.apply(frozen["vae_img"], rgb,
+                                      method=ImageVAE.encode)
+        if self.sample_posterior_rgb:
+            rgb_latents = post_rgb.sample(k_rgb)
+        else:
+            rgb_latents = post_rgb.mode()
+        rgb_latents = rgb_latents.astype(jnp.float32) * self.img_scale
+
+        loss_mask = self._loss_weight_mask(batch, latents.shape[1:3])
+        return latents, latents_mean, rgb_latents, loss_mask
+
+    def _loss_weight_mask(self, batch, latent_hw):
+        """get_loss_weight_mask (:621-663): 'ignore' / 'counts' /
+        'padding' / none — vectorized."""
+        lh, lw = latent_hw
+        if self.type_mask == "none":
+            return None
+        if self.type_mask == "padding":
+            src = batch["mask"].astype(jnp.float32)
+        else:
+            src = batch["semseg"].astype(jnp.float32)
+        b = src.shape[0]
+        t = jax.image.resize(src[..., None], (b, lh, lw, 1),
+                             "nearest")[..., 0]
+        if self.type_mask == "padding":
+            return t
+        if self.type_mask == "ignore":
+            return (t != self.ignore_label).astype(jnp.float32)
+        # 'counts': 1 / class-pixel-count per pixel, 0 at ignore
+        ti = t.astype(jnp.int32)
+        hist = jax.vmap(
+            lambda x: jnp.bincount(x.reshape(-1),
+                                   length=self.num_classes))(ti)
+        inv = 1.0 / jnp.maximum(hist, 1).astype(jnp.float32)
+        m = jnp.take_along_axis(
+            inv[:, None, :].repeat(lh * lw, axis=1),
+            ti.reshape(b, -1, 1), axis=-1).reshape(b, lh, lw)
+        return jnp.where(ti == self.ignore_label, 0.0, m)
+
+    # ------------------------------------------------------------------
+    # training (train_single_epoch + compute_loss)
+    # ------------------------------------------------------------------
+    def _unet_apply(self, params, latents, rgb_latents, condition, t,
+                    context=None):
+        inputs = jnp.concatenate([latents, rgb_latents], axis=-1)
+        if condition is not None:
+            inputs = jnp.concatenate([inputs, condition], axis=-1)
+        return self.unet.apply(params, inputs.astype(self.compute_dtype),
+                               t, context).astype(jnp.float32)
+
+    def _train_step_impl(self, state: TrainState, frozen, batch,
+                         key: jax.Array):
+        keys = jax.random.split(key, 8)
+        latents, latents_mean, rgb_latents, loss_mask = self._encode_impl(
+            frozen, batch, keys[0])
+        b = latents.shape[0]
+
+        # (optional) train on own predictions (:738-744)
+        if self.prob_train_on_pred > 0:
+            pred_latents = self._predict_sample(
+                state.params, latents, rgb_latents, keys[1],
+                tmax=self.sched.num_train_timesteps // 2)
+            take = jax.random.uniform(keys[2], (b, 1, 1, 1)) < \
+                self.prob_train_on_pred
+            latents = jnp.where(take, pred_latents, latents)
+
+        noise = jax.random.normal(keys[3], latents.shape)
+        timesteps = jax.random.randint(
+            keys[4], (b,), self.min_noise_level,
+            self.sched.num_train_timesteps)
+        noisy = add_noise(self.sched, latents, noise, timesteps)
+
+        # (optional) inpainting: keep original latents where masked
+        inpaint = None
+        if self.prob_inpainting > 0:
+            m = jax.image.resize(
+                batch["inpainting_mask"].astype(jnp.float32)[..., None],
+                (b, latents.shape[1], latents.shape[2], 1), "nearest")
+            on = jax.random.uniform(keys[5], (b, 1, 1, 1)) < \
+                self.prob_inpainting
+            inpaint = m * on
+
+        # (optional) self-conditioning first pass, no grad (:824-833)
+        condition = None
+        if self.self_condition:
+            cond0 = jnp.zeros_like(noisy)
+            pred0 = self._unet_apply(jax.lax.stop_gradient(state.params),
+                                     noisy, rgb_latents, cond0, timesteps)
+            condition = jax.lax.stop_gradient(
+                remove_noise(self.sched, noisy, pred0, timesteps))
+
+        def loss_fn(params):
+            rgb_in = rgb_latents
+            t_img = None
+            if self.rgb_noise_level > 0:
+                rn = jax.random.normal(keys[6], rgb_in.shape)
+                t_img = jax.random.randint(keys[7], (b,), 0,
+                                           self.rgb_noise_level)
+                rgb_in = add_noise(self.sched, rgb_in, rn, t_img)
+            pred = self._unet_apply(params, noisy, rgb_in, condition,
+                                    timesteps)
+            if self.sched.prediction_type == "epsilon":
+                target = noise
+            else:
+                target = latents_mean
+            loss = diffusion_loss(
+                pred, target, timesteps=timesteps,
+                schedule_weights=self.sched.weights, loss_mask=loss_mask,
+                loss_type=self.loss_type, ohem_ratio=self.ohem_ratio)
+            return loss, pred
+
+        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(grads)
+
+        # x0 prediction for visualization (:607-613)
+        if self.sched.prediction_type == "epsilon":
+            pred_x0 = remove_noise(self.sched, noisy, pred, timesteps)
+        else:
+            pred_x0 = pred
+        if inpaint is not None:
+            pred_x0 = jnp.where(inpaint > 0, latents_mean, pred_x0)
+        metrics = {"loss": loss, "timestep_mean":
+                   jnp.mean(timesteps.astype(jnp.float32))}
+        return new_state, metrics, pred_x0
+
+    def _predict_sample(self, params, latents, rgb_latents, key, tmax):
+        """predict_sample (:446-495): one denoise at random t, no grad."""
+        k1, k2 = jax.random.split(key)
+        noise = jax.random.normal(k1, latents.shape)
+        t = jax.random.randint(k2, (latents.shape[0],), 0, tmax)
+        noisy = add_noise(self.sched, latents, noise, t)
+        cond = jnp.zeros_like(noisy) if self.self_condition else None
+        pred = self._unet_apply(jax.lax.stop_gradient(params), noisy,
+                                rgb_latents, cond, t)
+        out = remove_noise(self.sched, noisy, pred, t)
+        out = jnp.clip(out, latents.min(), latents.max())
+        return jax.lax.stop_gradient(out)
+
+    # ------------------------------------------------------------------
+    def train_loop(self, seed: int = 0, log_every: int = 20,
+                   save_every: int = 2000,
+                   max_steps: Optional[int] = None):
+        assert self.ds is not None
+        from ..data import Loader
+        loader = Loader(self.ds, self.batch_size, seed=seed)
+        max_steps = max_steps or self.train_num_steps
+        meter = AverageMeter("loss", ":.4f")
+        key = jax.random.key(seed)
+        step = int(self.state.step) if self.state is not None else 0
+        epoch = 0
+        t0 = time.time()
+        while step < max_steps:
+            for batch in loader.epoch(epoch):
+                if self.state is None:
+                    self.init_state(batch, seed)
+                db = shard_batch(self.mesh, {
+                    k: batch[k] for k in
+                    ("image", "image_semseg", "semseg", "mask",
+                     "inpainting_mask") if k in batch})
+                key, sub = jax.random.split(key)
+                self.state, metrics, _ = self._train_step(
+                    self.state, self.frozen_params, db, sub)
+                step += 1
+                if step % log_every == 0:
+                    meter.update(float(jax.device_get(metrics["loss"])),
+                                 self.batch_size)
+                    ProgressMeter(max_steps, [meter],
+                                  prefix=f"Epoch [{epoch}]").display(step)
+                if step % save_every == 0:
+                    self.save(step)
+                if step >= max_steps:
+                    break
+            epoch += 1
+        print(f"LDM training finished in {time.time() - t0:.1f}s")
+        return self.state
+
+    # ------------------------------------------------------------------
+    # sampling + eval (sample :1049 / compute_pq :1185)
+    # ------------------------------------------------------------------
+    def _sample_decode_impl(self, unet_params, frozen, rgb_latents, key,
+                            num_inference_steps: int = 50,
+                            repeat_noise: bool = False):
+        b, lh, lw, _ = rgb_latents.shape
+        init = jax.random.normal(key, (b, lh, lw, 4))
+        if repeat_noise:
+            # share one noise map across the clip (:1097-1098)
+            init = jnp.broadcast_to(init[:1], init.shape)
+
+        def model_fn(latents, condition, t):
+            return self._unet_apply(unet_params, latents, rgb_latents,
+                                    condition, t)
+
+        x0 = ddim_sample(self.sched, model_fn, init,
+                         num_inference_steps=num_inference_steps,
+                         self_condition=self.self_condition)
+        # decode_latents (:399-427): unscale + seg-VAE decode to logits
+        z = x0 * (1.0 / self.seg_scale)
+        logits = self.vae_seg.apply(frozen["vae_seg"], z, True,
+                                    method=SegVAE.decode)
+        return logits.astype(jnp.float32), x0
+
+    def sample_panoptic(self, batch: dict, key: jax.Array,
+                        num_inference_steps: Optional[int] = None,
+                        repeat_noise: bool = False):
+        """RGB batch -> sampled segmentation logits (full pipeline)."""
+        _, _, rgb_latents, _ = self._encode(self.frozen_params, {
+            "image": jnp.asarray(batch["image"]),
+            "image_semseg": jnp.asarray(batch["image_semseg"]),
+            "semseg": jnp.asarray(batch["semseg"]),
+            "mask": jnp.asarray(batch["mask"]),
+        }, key)
+        logits, x0 = self._sample_decode(
+            self.state.params, self.frozen_params, rgb_latents, key,
+            num_inference_steps=num_inference_steps or
+            self.num_inference_steps, repeat_noise=repeat_noise)
+        return logits, x0
+
+    def compute_pq(self, num_inference_steps: Optional[int] = None,
+                   max_batches: Optional[int] = None,
+                   thing_ids=frozenset(), save_model: bool = False,
+                   seed: int = 0) -> dict:
+        """Sampled-segmentation PQ on the val set (:1185-1375)."""
+        from ..data import Loader
+        from ..evals import PanopticEvaluator
+        from ..ops import panoptic_post_process
+        assert self.ds_val is not None
+        ev = PanopticEvaluator(thing_ids=set(thing_ids),
+                               class_agnostic=not thing_ids,
+                               ignore_label=self.ignore_label)
+        loader = Loader(self.ds_val, self.batch_size, shuffle=False,
+                        drop_last=False)
+        key = jax.random.key(seed)
+        for i, batch in enumerate(loader.epoch(0)):
+            key, sub = jax.random.split(key)
+            logits, _ = self.sample_panoptic(
+                batch, sub, num_inference_steps=num_inference_steps)
+            h, w = batch["semseg"].shape[1:3]
+            logits = jax.image.resize(
+                logits, (logits.shape[0], h, w, logits.shape[-1]), "linear")
+            cleaned, _ = panoptic_post_process(
+                logits, mask_th=self.mask_th, count_th=self.count_th,
+                overlap_th=self.overlap_th, ignore_label=self.ignore_label,
+                valid_mask=jnp.asarray(batch["mask"]))
+            cleaned = np.asarray(cleaned)
+            for bi in range(cleaned.shape[0]):
+                ev.add_image(cleaned[bi], batch["semseg"][bi])
+            if max_batches is not None and i + 1 >= max_batches:
+                break
+        results = ev.evaluate()
+        if save_model and results["pq"] > self.best_pq:
+            self.best_pq = results["pq"]
+            self.save(step=None, tag="best_model")
+        return results
+
+    # ------------------------------------------------------------------
+    def save(self, step: Optional[int] = None, tag: Optional[str] = None):
+        """Checkpoint {unet, opt, step} (+ frozen refs are re-derivable)
+        (construct_save_dict :1844-1877)."""
+        import orbax.checkpoint as ocp
+        name = tag or f"step_{step or int(self.state.step)}"
+        path = os.path.join(os.path.abspath(self.results_folder), name)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": self.state.params,
+                          "opt_state": self.state.opt_state,
+                          "step": np.asarray(self.state.step)}, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def resume(self, path: Optional[str] = None):
+        import orbax.checkpoint as ocp
+        root = os.path.abspath(self.results_folder)
+        if path is None:
+            cands = sorted(
+                (d for d in os.listdir(root) if d.startswith("step_")),
+                key=lambda d: int(d.split("_")[1]))
+            if not cands:
+                print("No checkpoint found; starting fresh")
+                return None
+            path = os.path.join(root, cands[-1])
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": self.state.params,
+                  "opt_state": self.state.opt_state,
+                  "step": np.asarray(self.state.step)}
+        restored = ckptr.restore(path, target)
+        self.state = self.state.replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"]))
+        print(f"Resumed from {path} at step {int(self.state.step)}")
+        return path
+
+
+def _unnormalize_to01(x: jnp.ndarray) -> jnp.ndarray:
+    """Invert the ImageNet normalization back to [0,1] (the reference
+    feeds 2*img-1 of the [0,1] image to the RGB VAE, encode_inputs :371)."""
+    mean = jnp.asarray([0.485, 0.456, 0.406], x.dtype)
+    std = jnp.asarray([0.229, 0.224, 0.225], x.dtype)
+    return jnp.clip(x * std + mean, 0.0, 1.0)

@@ -1,0 +1,226 @@
+"""Config system.
+
+Mirrors the reference's hydra/omegaconf surface (ldmseg/utils/config.py +
+tools/configs/base/base.yaml:1-185) with the SAME key names, as plain
+dicts + YAML files: ``load_config`` composes base + dataset + overrides by
+dict union (main_ldm.py:43,:47) and ``prepare_config`` creates the
+timestamped ``run_<idx>`` output tree (config.py:73-98).
+"""
+
+from __future__ import annotations
+
+import copy
+import datetime
+import os
+from typing import Optional
+
+# Key-for-key mirror of tools/configs/base/base.yaml:1-185.
+DEFAULT_CONFIG: dict = {
+    "pretrained_model_path": None,
+    "wandb": False,
+    "eval_only": False,
+    "load_path": None,
+    "image_scaling_factor": 0.18215,
+    "shared_vae_encoder": False,
+    "vae_model_kwargs": {
+        "in_channels": 16,
+        "int_channels": 256,
+        "out_channels": 128,
+        "block_out_channels": [32, 64, 128, 256],
+        "latent_channels": 4,
+        "num_latents": 2,
+        "num_upscalers": 2,
+        "upscale_channels": 256,
+        "norm_num_groups": 32,
+        "scaling_factor": 0.2,
+        "parametrization": "gaussian",
+        "act_fn": "none",
+        "clamp_output": False,
+        "freeze_codebook": False,
+        "num_mid_blocks": 0,
+        "fuse_rgb": False,
+        "resize_input": False,
+        "skip_encoder": False,
+        "pretrained_path": None,
+    },
+    "backbone": "unet",
+    "model_kwargs": {
+        "in_channels": 8,
+        "init_mode_seg": "copy",
+        "init_mode_image": "zero",
+        "cond_channels": 0,
+        "separate_conv": False,
+        "separate_encoder": False,
+        "add_adaptor": False,
+        "init_mode_adaptor": "random",
+    },
+    "noise_scheduler_kwargs": {
+        "prediction_type": "epsilon",
+        "beta_schedule": "scaled_linear",
+        "num_train_timesteps": 1000,
+        "beta_start": 0.00085,
+        "beta_end": 0.012,
+        "steps_offset": 1,
+        "clip_sample": False,
+        "set_alpha_to_one": False,
+        "thresholding": False,
+        "dynamic_thresholding_ratio": 0.995,
+        "clip_sample_range": 1.0,
+        "sample_max_value": 1.0,
+        "weight": "none",
+        "max_snr": 5.0,
+    },
+    "train_kwargs": {
+        "dropout": 0.0,
+        "inpaint_mask_size": [64, 64],
+        "type_mask": "ignore",
+        "latent_mask": False,
+        "encoding_mode": "bits",
+        "image_descriptors": "remove",
+        "caption_type": "none",
+        "caption_dropout": 1.0,
+        "prob_train_on_pred": 0.0,
+        "prob_inpainting": 0.0,
+        "min_noise_level": 0,
+        "rgb_noise_level": 0,
+        "cond_noise_level": 0,
+        "self_condition": False,
+        "sample_posterior": False,
+        "sample_posterior_rgb": False,
+        "remap_seg": True,
+        "train_num_steps": 24000,
+        "batch_size": 8,
+        "accumulate": 1,
+        "num_workers": 8,
+        "loss": "l2",
+        "ohem_ratio": 1.0,
+        "fp16": False,
+        "weight_dtype": "float32",
+        "clip_grad": 3.0,
+        "freeze_layers": ["time_embedding"],
+        "gradient_checkpointing": False,
+    },
+    "loss_weights": {"mask": 1.0, "ce": 1.0, "kl": 0.0},
+    "loss_kwargs": {
+        "num_points": 12544,
+        "oversample_ratio": 3,
+        "importance_sample_ratio": 0.75,
+        "cost_mask": 1.0,
+        "cost_class": 1.0,
+        "temperature": 1.0,
+    },
+    "sampling_kwargs": {
+        "num_inference_steps": 50,
+        "guidance_scale": 7.5,
+        "seed": 0,
+        "block_size": 2,
+        "prob_mask": 0.5,
+    },
+    "eval_kwargs": {
+        "mask_th": 0.5,
+        "count_th": 512,
+        "overlap_th": 0.5,
+        "batch_size": 16,
+        "num_workers": 2,
+        "vis_every": 1500,
+        "print_freq": 20,
+    },
+    "optimizer_name": "adamw",
+    "optimizer_kwargs": {
+        "lr": 1.0e-4,
+        "betas": [0.9, 0.999],
+        "weight_decay": 0.0,
+        "weight_decay_norm": 0.0,
+    },
+    "optimizer_zero_redundancy": False,
+    "optimizer_backbone_multiplier": 1.0,
+    "optimizer_save_optim": False,
+    "ema_on": False,
+    "ema_kwargs": {"decay": 0.9999},
+    "lr_scheduler_name": "warmup",
+    "lr_scheduler_kwargs": {"final_lr": 0.000001, "warmup_iters": 200},
+    "transformation_kwargs": {
+        "type": "crop_resize_pil",
+        "size": 192,
+        "size_2": 640,
+        "size_rgb": 192,
+        "size_rgb_2": 640,
+        "max_size": 640,
+        "flip": True,
+        "normalize": True,
+    },
+    "train_db_name": "kitti",
+    "val_db_name": "kitti",
+    "split": "val",
+    "num_classes": 128,
+    "num_bits": 16,
+    "has_bg": False,
+    "ignore_label": 127,
+    "fill_value": 0.5,
+    "inpainting_strength": 0.0,
+}
+
+
+def merge_dicts(base: dict, override: dict) -> dict:
+    """Recursive dict union, override wins (main_ldm.py:43 ``cfg | cfg_ds``
+    but deep)."""
+    out = copy.deepcopy(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_dicts(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def load_config(path: Optional[str] = None,
+                overrides: Optional[dict] = None) -> dict:
+    """Compose DEFAULT_CONFIG (+ optional YAML file) (+ overrides)."""
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
+    if path is not None:
+        import yaml
+        with open(path) as f:
+            cfg = merge_dicts(cfg, yaml.safe_load(f) or {})
+    if overrides:
+        cfg = merge_dicts(cfg, overrides)
+    return cfg
+
+
+def parse_dot_overrides(args: list[str]) -> dict:
+    """CLI ``a.b.c=value`` overrides (the scripts' hydra style,
+    tools/scripts/train_diffusion.sh:6-43)."""
+    import ast
+    out: dict = {}
+    for arg in args:
+        if "=" not in arg:
+            continue
+        key, val = arg.split("=", 1)
+        try:
+            val = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            pass
+        node = out
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return out
+
+
+def prepare_config(cfg: dict, output_dir: str, run_idx: int = -1) -> dict:
+    """Create the run directory tree (reference config.py:73-98):
+    ``run_idx=-1`` -> timestamped dir; returns cfg with ``output_dir`` /
+    ``checkpoint_dir`` / ``log_dir`` set."""
+    cfg = copy.deepcopy(cfg)
+    if run_idx == -1:
+        stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+        run_name = f"run_{stamp}"
+    else:
+        run_name = f"run_{run_idx}"
+    root = os.path.join(output_dir, run_name)
+    cfg["output_dir"] = root
+    cfg["checkpoint_dir"] = os.path.join(root, "checkpoints")
+    cfg["log_dir"] = os.path.join(root, "logs")
+    for d in (root, cfg["checkpoint_dir"], cfg["log_dir"]):
+        os.makedirs(d, exist_ok=True)
+    return cfg

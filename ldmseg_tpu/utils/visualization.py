@@ -1,0 +1,47 @@
+"""Visualization panels (host-side).
+
+Reference: ``save_train_images`` / ``log_images_*`` write stacked
+RGB / GT / prediction panels every ``vis_every`` steps
+(trainers_ae.py:884, trainers_ldm_cond.py:1378-1512); panoptic maps are
+colorized with the bit-pattern / seeded colormaps.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from ..ops.color import color_map, colorize_panoptic_np
+from ..data.transforms import denormalize_imagenet
+
+
+def panoptic_to_rgb(seg: np.ndarray, cmap: np.ndarray | None = None
+                    ) -> np.ndarray:
+    cmap = cmap if cmap is not None else color_map()
+    return colorize_panoptic_np(seg.astype(np.int64), cmap)
+
+
+def stack_panels(rows: list[np.ndarray]) -> np.ndarray:
+    """Vertically stack equally-sized HxWx3 uint8 panels."""
+    return np.concatenate(rows, axis=0)
+
+
+def save_train_panel(
+    path: str,
+    rgb: np.ndarray,
+    gt_seg: np.ndarray,
+    pred_seg: np.ndarray,
+    extra: np.ndarray | None = None,
+) -> str:
+    """Write an rgb/gt/pred(/extra) panel like the reference's
+    ``rgb_gt_pred_ae_*.jpg`` artifacts."""
+    rgb8 = (np.clip(denormalize_imagenet(rgb), 0, 1) * 255).astype(np.uint8)
+    rows = [rgb8, panoptic_to_rgb(gt_seg), panoptic_to_rgb(pred_seg)]
+    if extra is not None:
+        rows.append(extra.astype(np.uint8))
+    panel = stack_panels(rows)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(panel).save(path)
+    return path
