@@ -59,6 +59,7 @@ class KittiDVPS:
         size: Tuple[int, int] = (192, 640),
         num_classes: int = 30,
         num_bits: int = 5,
+        num_bits_instance: int | None = None,
         ignore_label: int = 0,
         fill_value: float = 0.5,
         inpainting_strength: float = 0.0,
@@ -75,6 +76,10 @@ class KittiDVPS:
         self.size = size
         self.num_classes = num_classes
         self.num_bits = num_bits
+        # the video variant uses 5-bit semantics + 6-bit instances -> 11
+        # channels (dataset/semKITTI_dataset.py:200-203)
+        self.num_bits_instance = (num_bits_instance if num_bits_instance
+                                  is not None else num_bits)
         self.ignore_label = ignore_label
         self.fill_value = fill_value
         self.encoding_mode = encoding_mode
@@ -157,13 +162,13 @@ class KittiDVPS:
         assert semseg.max() < self.num_classes
 
         # instance compaction to 0..K (kitti.py:419-424)
+        nbi = self.num_bits_instance
         if self.remap_mode == "per_scene":
             table = self._scene_tables.setdefault(("ins", scene), {})
-            instance = remap_per_scene(inst_raw, table, 2**self.num_bits,
-                                       0)
+            instance = remap_per_scene(inst_raw, table, 2**nbi, 0)
         else:
             instance, _ = remap_contiguous(inst_raw, 0)
-        instance = np.minimum(instance, 2**self.num_bits - 2)
+        instance = np.minimum(instance, 2**nbi - 2)
 
         sample = {
             "image": image,
@@ -178,7 +183,8 @@ class KittiDVPS:
             seg_bits, _ = encode_bits_np(semseg, self.num_bits,
                                          ignore_label=self.ignore_label,
                                          fill_value=self.fill_value)
-            ins_bits, _ = encode_bits_np(instance, self.num_bits,
+            ins_bits, _ = encode_bits_np(instance,
+                                         self.num_bits_instance,
                                          ignore_label=None)
             sample["image_semseg"] = np.concatenate([seg_bits, ins_bits],
                                                     axis=-1)

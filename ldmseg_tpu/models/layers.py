@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -29,30 +30,62 @@ class LayerNorm2d(nn.Module):
                             name="ln")(x)
 
 
+class GroupNormSiLU(nn.Module):
+    """GN + SiLU with the same param layout as ``nn.GroupNorm``
+    (params/<name>/{scale,bias}) so checkpoints are interchangeable.
+    Dispatches to the fused Pallas kernel when ``use_pallas`` and the
+    image tile fits in VMEM, else the XLA path."""
+
+    groups: int = 32
+    eps: float = 1e-6
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.use_pallas:
+            from ..ops.pallas.groupnorm_silu import group_norm_silu
+            return group_norm_silu(x, scale, bias, self.groups, self.eps)
+        cg = c // self.groups
+        xs = x.shape
+        xf = x.astype(jnp.float32).reshape(xs[0], -1, self.groups, cg)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(xs)
+        y = y * scale + bias
+        return nn.silu(y).astype(x.dtype)
+
+
 class ResnetBlock(nn.Module):
     """diffusers-style ResnetBlock2D: GN-silu-conv ×2 + skip, optional
-    time-embedding bias added between the halves."""
+    time-embedding bias added between the halves.
+
+    ``use_pallas_gn`` routes the GN+SiLU pairs through the fused Pallas
+    kernel (ops/pallas/groupnorm_silu.py); parameters stay identical, so
+    the flag can be flipped on loaded checkpoints.
+    """
 
     out_channels: int
     groups: int = 32
     eps: float = 1e-6
     use_conv_shortcut: bool = False
     output_scale_factor: float = 1.0
+    use_pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(groups=self.groups, eps=self.eps,
+                          use_pallas=self.use_pallas_gn, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(groups=self.groups, eps=self.eps,
+                          use_pallas=self.use_pallas_gn, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
         if in_channels != self.out_channels:
             if self.use_conv_shortcut:

@@ -43,6 +43,16 @@ def _conv(sd, name):
             "bias": sd[f"{name}.bias"]}
 
 
+def _conv_transpose(sd, name):
+    """torch ConvTranspose2d -> flax ConvTranspose: besides the axis
+    permutation the spatial taps must be FLIPPED (lax.conv_transpose
+    correlates where torch convolves). Needed for the seg-VAE upscalers
+    when importing reference stage-1 checkpoints."""
+    w = sd[f"{name}.weight"]  # [in, out, kh, kw]
+    return {"kernel": w.transpose(2, 3, 0, 1)[::-1, ::-1].copy(),
+            "bias": sd[f"{name}.bias"]}
+
+
 def _dense(sd, name, bias=True):
     out = {"kernel": sd[f"{name}.weight"].transpose(1, 0)}
     if bias:

@@ -66,6 +66,7 @@ class UNetConfig:
     dropout_mode: str = "standard"  # 'standard' | 'gaussian'
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
+    use_pallas_gn: bool = False  # fused Pallas GroupNorm+SiLU in resnets
 
 
 class CrossAttention(nn.Module):
@@ -189,13 +190,16 @@ class DownBlock(nn.Module):
     eps: float
     add_downsample: bool
     use_cross_attention: bool
+    use_pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context=None):
         res_outputs = []
         for i in range(self.num_layers):
             x = ResnetBlock(self.out_channels, groups=self.groups,
-                            eps=self.eps, name=f"resnet{i}")(x, temb)
+                            eps=self.eps,
+                            use_pallas_gn=self.use_pallas_gn,
+                            name=f"resnet{i}")(x, temb)
             if self.has_attn:
                 x = Transformer2D(self.out_channels, self.heads,
                                   self.context_dim, groups=self.groups,
@@ -218,6 +222,7 @@ class UpBlock(nn.Module):
     eps: float
     add_upsample: bool
     use_cross_attention: bool
+    use_pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x, res_samples, temb, context=None):
@@ -225,7 +230,9 @@ class UpBlock(nn.Module):
             res = res_samples.pop()
             x = jnp.concatenate([x, res], axis=-1)
             x = ResnetBlock(self.out_channels, groups=self.groups,
-                            eps=self.eps, name=f"resnet{i}")(x, temb)
+                            eps=self.eps,
+                            use_pallas_gn=self.use_pallas_gn,
+                            name=f"resnet{i}")(x, temb)
             if self.has_attn:
                 x = Transformer2D(self.out_channels, self.heads,
                                   self.context_dim, groups=self.groups,
@@ -243,16 +250,19 @@ class MidBlockCrossAttn(nn.Module):
     groups: int
     eps: float
     use_cross_attention: bool
+    use_pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context=None):
         x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
+                        use_pallas_gn=self.use_pallas_gn,
                         name="resnet0")(x, temb)
         x = Transformer2D(self.channels, self.heads, self.context_dim,
                           groups=self.groups,
                           use_cross_attention=self.use_cross_attention,
                           name="attn")(x, context)
         x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
+                        use_pallas_gn=self.use_pallas_gn,
                         name="resnet1")(x, temb)
         return x
 
@@ -358,6 +368,7 @@ class UNet2DCondition(nn.Module):
                     eps=cfg.norm_eps,
                     add_downsample=i < len(cfg.block_out_channels) - 1,
                     use_cross_attention=cfg.use_cross_attention,
+                    use_pallas_gn=cfg.use_pallas_gn,
                     name=f"down_blocks_img{i}")(x_img, emb_img, context)
                 if cfg.add_adaptor:
                     res = [nn.Conv(r.shape[-1], (3, 3), padding=1,
@@ -385,6 +396,7 @@ class UNet2DCondition(nn.Module):
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                 add_downsample=i < len(cfg.block_out_channels) - 1,
                 use_cross_attention=cfg.use_cross_attention,
+                use_pallas_gn=cfg.use_pallas_gn,
                 name=f"down_blocks{i}")(x, emb, context)
             res_stack.extend(res)
 
@@ -397,6 +409,7 @@ class UNet2DCondition(nn.Module):
             cfg.block_out_channels[-1], heads, ctx_dim,
             groups=cfg.norm_num_groups, eps=cfg.norm_eps,
             use_cross_attention=cfg.use_cross_attention,
+            use_pallas_gn=cfg.use_pallas_gn,
             name="mid_block")(x, emb, context)
 
         # 6. up blocks (:400-425)
@@ -412,6 +425,7 @@ class UNet2DCondition(nn.Module):
                 eps=cfg.norm_eps,
                 add_upsample=i < len(rev) - 1,
                 use_cross_attention=cfg.use_cross_attention,
+                use_pallas_gn=cfg.use_pallas_gn,
                 name=f"up_blocks{i}")(x, res_samples, emb, context)
 
         # 7. out head (:427-431)

@@ -1,0 +1,109 @@
+"""Pallas TPU kernel: self-attention with VMEM-resident softmax.
+
+The UNet's hot attention shape is [B=8, H=8, T=2048, D=40] (32x64 latent,
+320ch / 8 heads). XLA materializes the [B, H, T, T] fp32 score tensor in
+HBM (~1 GB -> ~3.7 ms, bandwidth-bound). Flash attention's streaming
+machinery is unnecessary here: a full score ROW BLOCK [BQ, T] fits in
+VMEM, so the kernel computes QK^T -> softmax -> PV per (batch*head,
+q-block) grid step with K/V held resident — zero HBM score traffic.
+
+Cost model: both matmuls pad D=40 to the 128 lane width; total padded
+FLOPs ~2x137 GFLOP for the 2048-token layer vs ~2.7 GB of HBM traffic
+saved. Forward-only (inference sampler); training falls back to XLA via
+``custom_vjp``'s recompute path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]                       # [BQ, D]
+    k = k_ref[0]                       # [T, D]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale     # [BQ, T]
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32)      # [BQ, D]
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _fused_impl(q, k, v, scale, block_q):
+    bh, t, d = q.shape
+    block_q = min(block_q, t)
+    grid = (bh, t // block_q)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q, k, v)
+
+
+def _xla_reference(q, k, v, scale):
+    s = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bqk,bkd->bqd", p, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_self_attention_flat(q, k, v, scale, block_q):
+    return _fused_impl(q, k, v, scale, block_q)
+
+
+def _fwd(q, k, v, scale, block_q):
+    return _fused_impl(q, k, v, scale, block_q), (q, k, v)
+
+
+def _bwd(scale, block_q, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _xla_reference(a, b, c, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_fused_self_attention_flat.defvjp(_fwd, _bwd)
+
+
+def fused_self_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: float, block_q: int = 512,
+    max_seq: int = 4096,
+) -> jnp.ndarray:
+    """Multi-head self-attention, inputs ``[B, T, H, Dh]`` (the UNet's
+    layout before the einsum). Falls back to XLA when the sequence is too
+    long for the VMEM-resident row block or not block-divisible."""
+    b, t, h, dh = q.shape
+
+    def flat(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, t, dh)
+
+    def unflat(x):
+        return x.reshape(b, h, t, dh).transpose(0, 2, 1, 3)
+
+    if t > max_seq or t % min(block_q, t) != 0:
+        return unflat(_xla_reference(flat(q), flat(k), flat(v), scale))
+    out = _fused_self_attention_flat(flat(q), flat(k), flat(v), scale,
+                                     min(block_q, t))
+    return unflat(out)

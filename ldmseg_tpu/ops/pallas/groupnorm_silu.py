@@ -74,8 +74,8 @@ def _forward(x, scale, bias, groups, eps):
     b, h, w, c = x.shape
     assert c % groups == 0
     kernel = functools.partial(_gn_silu_kernel, groups=groups, eps=eps)
-    # fp32 working set: in + out + a couple of temporaries
-    limit = 4 * _vmem_bytes((h, w, c), jnp.float32) + (1 << 20)
+    # fp32 working set: in + out + several fused temporaries
+    limit = 8 * _vmem_bytes((h, w, c), jnp.float32) + (2 << 20)
     return pl.pallas_call(
         kernel,
         grid=(b,),

@@ -136,7 +136,10 @@ def test_mask_count_psum_under_shard_map():
     cfg = CFG
 
     def local(lg, tg):
-        return _mask_losses(jax.random.key(0), lg, tg, cfg, axis_name="data")
+        loss = _mask_losses(jax.random.key(0), lg, tg, cfg,
+                            axis_name="data")
+        # DDP semantics: per-shard losses are averaged across the axis
+        return jax.lax.pmean(loss, "data")
 
     f = shard_map(local, mesh=mesh, in_specs=(P("data"), P("data")),
                   out_specs=P())

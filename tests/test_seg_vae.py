@@ -78,8 +78,10 @@ def _copy_conv(tconv, fparams):
 
 
 def _copy_convt(tconv, fparams):
+    # flax ConvTranspose kernels are spatially flipped relative to torch
+    # ConvTranspose2d (lax.conv_transpose correlates, torch convolves)
     tconv.weight.data = torch.from_numpy(
-        np.asarray(fparams["kernel"]).transpose(2, 3, 0, 1).copy())
+        np.asarray(fparams["kernel"])[::-1, ::-1].transpose(2, 3, 0, 1).copy())
     tconv.bias.data = torch.from_numpy(np.asarray(fparams["bias"]).copy())
 
 
