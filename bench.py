@@ -29,7 +29,8 @@ def main():
     lh, lw = h // 8, w // 8
     dtype = jnp.bfloat16
 
-    unet_cfg = UNetConfig(in_channels=8, use_cross_attention=False)
+    unet_cfg = UNetConfig(in_channels=8, use_cross_attention=False,
+                          use_fused_attention=True)
     unet = UNet2DCondition(config=unet_cfg)
     vae_img = ImageVAE(decoder_enabled=False)
     vae_seg = SegVAE(in_channels=16, out_channels=128, num_upscalers=2)

@@ -67,6 +67,7 @@ class UNetConfig:
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
     use_pallas_gn: bool = False  # fused Pallas GroupNorm+SiLU in resnets
+    use_fused_attention: bool = False  # Pallas VMEM-softmax self-attn
 
 
 class CrossAttention(nn.Module):
@@ -78,9 +79,11 @@ class CrossAttention(nn.Module):
     query_dim: int
     heads: int
     context_dim: Optional[int] = None
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
+        is_self = context is None
         context = x if context is None else context
         inner = self.query_dim
         head_dim = inner // self.heads
@@ -93,6 +96,10 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, tk, self.heads, head_dim)
         v = v.reshape(b, tk, self.heads, head_dim)
         scale = head_dim**-0.5
+        if self.use_fused and is_self:
+            from ..ops.pallas.attention import fused_self_attention
+            out = fused_self_attention(q, k, v, scale).reshape(b, tq, inner)
+            return nn.Dense(inner, name="to_out")(out)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, tq, inner)
@@ -118,11 +125,14 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     context_dim: int
     use_cross_attention: bool = True
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
         h = nn.LayerNorm(name="norm1")(x)
-        x = x + CrossAttention(self.dim, self.heads, name="attn1")(h)
+        x = x + CrossAttention(self.dim, self.heads,
+                               use_fused=self.use_fused_attention,
+                               name="attn1")(h)
         if self.use_cross_attention:
             h = nn.LayerNorm(name="norm2")(x)
             x = x + CrossAttention(self.dim, self.heads,
@@ -142,6 +152,7 @@ class Transformer2D(nn.Module):
     depth: int = 1
     groups: int = 32
     use_cross_attention: bool = True
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -155,6 +166,7 @@ class Transformer2D(nn.Module):
             y = BasicTransformerBlock(
                 self.channels, self.heads, self.context_dim,
                 use_cross_attention=self.use_cross_attention,
+                use_fused_attention=self.use_fused_attention,
                 name=f"block{i}")(y, context)
         y = y.reshape(b, h, w, self.channels)
         y = nn.Conv(self.channels, (1, 1), name="proj_out")(y)
@@ -191,6 +203,7 @@ class DownBlock(nn.Module):
     add_downsample: bool
     use_cross_attention: bool
     use_pallas_gn: bool = False
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context=None):
@@ -204,6 +217,7 @@ class DownBlock(nn.Module):
                 x = Transformer2D(self.out_channels, self.heads,
                                   self.context_dim, groups=self.groups,
                                   use_cross_attention=self.use_cross_attention,
+                                  use_fused_attention=self.use_fused_attention,
                                   name=f"attn{i}")(x, context)
             res_outputs.append(x)
         if self.add_downsample:
@@ -223,6 +237,7 @@ class UpBlock(nn.Module):
     add_upsample: bool
     use_cross_attention: bool
     use_pallas_gn: bool = False
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, res_samples, temb, context=None):
@@ -237,6 +252,7 @@ class UpBlock(nn.Module):
                 x = Transformer2D(self.out_channels, self.heads,
                                   self.context_dim, groups=self.groups,
                                   use_cross_attention=self.use_cross_attention,
+                                  use_fused_attention=self.use_fused_attention,
                                   name=f"attn{i}")(x, context)
         if self.add_upsample:
             x = Upsample(self.out_channels, name="upsample")(x)
@@ -251,6 +267,7 @@ class MidBlockCrossAttn(nn.Module):
     eps: float
     use_cross_attention: bool
     use_pallas_gn: bool = False
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context=None):
@@ -260,6 +277,7 @@ class MidBlockCrossAttn(nn.Module):
         x = Transformer2D(self.channels, self.heads, self.context_dim,
                           groups=self.groups,
                           use_cross_attention=self.use_cross_attention,
+                          use_fused_attention=self.use_fused_attention,
                           name="attn")(x, context)
         x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
                         use_pallas_gn=self.use_pallas_gn,
@@ -369,6 +387,7 @@ class UNet2DCondition(nn.Module):
                     add_downsample=i < len(cfg.block_out_channels) - 1,
                     use_cross_attention=cfg.use_cross_attention,
                     use_pallas_gn=cfg.use_pallas_gn,
+                use_fused_attention=cfg.use_fused_attention,
                     name=f"down_blocks_img{i}")(x_img, emb_img, context)
                 if cfg.add_adaptor:
                     res = [nn.Conv(r.shape[-1], (3, 3), padding=1,
@@ -397,6 +416,7 @@ class UNet2DCondition(nn.Module):
                 add_downsample=i < len(cfg.block_out_channels) - 1,
                 use_cross_attention=cfg.use_cross_attention,
                 use_pallas_gn=cfg.use_pallas_gn,
+                use_fused_attention=cfg.use_fused_attention,
                 name=f"down_blocks{i}")(x, emb, context)
             res_stack.extend(res)
 
@@ -410,6 +430,7 @@ class UNet2DCondition(nn.Module):
             groups=cfg.norm_num_groups, eps=cfg.norm_eps,
             use_cross_attention=cfg.use_cross_attention,
             use_pallas_gn=cfg.use_pallas_gn,
+                use_fused_attention=cfg.use_fused_attention,
             name="mid_block")(x, emb, context)
 
         # 6. up blocks (:400-425)
@@ -426,6 +447,7 @@ class UNet2DCondition(nn.Module):
                 add_upsample=i < len(rev) - 1,
                 use_cross_attention=cfg.use_cross_attention,
                 use_pallas_gn=cfg.use_pallas_gn,
+                use_fused_attention=cfg.use_fused_attention,
                 name=f"up_blocks{i}")(x, res_samples, emb, context)
 
         # 7. out head (:427-431)

@@ -88,7 +88,7 @@ _fused_self_attention_flat.defvjp(_fwd, _bwd)
 
 def fused_self_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-    scale: float, block_q: int = 512,
+    scale: float, block_q: int = 1024,
     max_seq: int = 4096,
 ) -> jnp.ndarray:
     """Multi-head self-attention, inputs ``[B, T, H, Dh]`` (the UNet's
