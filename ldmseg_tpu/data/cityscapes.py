@@ -19,7 +19,7 @@ from .mask_generator import MaskingGenerator
 from .remap import remap_contiguous, remap_random
 from .transforms import (
     resize_rgb, normalize_imagenet, resize_label, resize_depth)
-from ..ops.bits import encode_bits_np
+from .transforms import encode_bits_host
 
 
 class CityscapesDVPS:
@@ -115,7 +115,7 @@ class CityscapesDVPS:
             "text": "",
         }
         if self.encoding_mode == "bits":
-            bits, _ = encode_bits_np(semseg, self.num_bits,
+            bits = encode_bits_host(semseg, self.num_bits,
                                      ignore_label=self.ignore_label,
                                      fill_value=self.fill_value)
             sample["image_semseg"] = bits

@@ -25,7 +25,7 @@ from PIL import Image
 from .mask_generator import MaskingGenerator
 from .remap import remap_contiguous, remap_random
 from .transforms import resize_rgb, normalize_imagenet, resize_label
-from ..ops.bits import encode_bits_np
+from .transforms import encode_bits_host
 
 
 def rgb_to_id(arr: np.ndarray) -> np.ndarray:
@@ -129,7 +129,7 @@ class CocoPanoptic:
         image = normalize_imagenet(resize_rgb(Image.open(img_path),
                                               self.size))
 
-        bits, _ = encode_bits_np(semseg, self.num_bits,
+        bits = encode_bits_host(semseg, self.num_bits,
                                  ignore_label=self.ignore_label,
                                  fill_value=self.fill_value)
 

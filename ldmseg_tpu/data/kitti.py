@@ -42,7 +42,7 @@ from .mask_generator import MaskingGenerator
 from .remap import remap_contiguous, remap_per_scene
 from .transforms import (
     resize_rgb, normalize_imagenet, resize_label, resize_depth)
-from ..ops.bits import encode_bits_np
+from .transforms import encode_bits_host
 
 _DEPTH_RE = re.compile(r"depth_([0-9]+(?:\.[0-9]+)?)")
 
@@ -180,10 +180,10 @@ class KittiDVPS:
         }
 
         if self.encoding_mode == "bits":
-            seg_bits, _ = encode_bits_np(semseg, self.num_bits,
+            seg_bits = encode_bits_host(semseg, self.num_bits,
                                          ignore_label=self.ignore_label,
                                          fill_value=self.fill_value)
-            ins_bits, _ = encode_bits_np(instance,
+            ins_bits = encode_bits_host(instance,
                                          self.num_bits_instance,
                                          ignore_label=None)
             sample["image_semseg"] = np.concatenate([seg_bits, ins_bits],

@@ -13,7 +13,7 @@ import numpy as np
 
 from .mask_generator import MaskingGenerator
 from .transforms import normalize_imagenet
-from ..ops.bits import encode_bits_np
+from .transforms import encode_bits_host
 
 
 class SyntheticDVPS:
@@ -78,10 +78,10 @@ class SyntheticDVPS:
 
         mask = (semseg != self.ignore_label).astype(np.uint8)
 
-        seg_bits, _ = encode_bits_np(semseg, self.num_bits,
+        seg_bits = encode_bits_host(semseg, self.num_bits,
                                      ignore_label=self.ignore_label,
                                      fill_value=self.fill_value)
-        ins_bits, _ = encode_bits_np(instance, self.num_bits,
+        ins_bits = encode_bits_host(instance, self.num_bits,
                                      ignore_label=None)
         return {
             "image": normalize_imagenet(rgb.astype(np.float32)),
