@@ -15,6 +15,7 @@ from .unet import (
 from .image_vae import ImageVAE
 from .posenet import PoseExpNet
 from .descriptors import get_image_descriptors, DescriptorSpec
+from .upscaler import Upscaler
 
 __all__ = [
     "SegVAE",
@@ -33,4 +34,5 @@ __all__ = [
     "PoseExpNet",
     "get_image_descriptors",
     "DescriptorSpec",
+    "Upscaler",
 ]

@@ -140,6 +140,10 @@ def make_optimizer(
 
     if name in ("adamw", "adam"):
         chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1]))
+    elif name == "adafactor":
+        # memory-saving factored second moments — the TPU stand-in for the
+        # reference's bitsandbytes AdamW8bit option (optim.py:108)
+        chain.append(optax.scale_by_factored_rms())
     elif name == "sgd":
         if momentum:
             chain.append(optax.trace(decay=momentum))
@@ -154,7 +158,7 @@ def make_optimizer(
             return weight_decay_bias
         return weight_decay
 
-    if name == "adamw" or (name == "sgd" and weight_decay):
+    if name in ("adamw", "adafactor") or (name == "sgd" and weight_decay):
         def add_decay(updates, state, params=None):
             assert params is not None
             updates = jax.tree_util.tree_map_with_path(

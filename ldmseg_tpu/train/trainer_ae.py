@@ -156,8 +156,24 @@ class TrainerAE:
         return new_state, metrics
 
     # ------------------------------------------------------------------
+    def save_train_images(self, batch: dict, step: int):
+        """Write an rgb/gt/pred panel (reference save_train_images,
+        trainers_ae.py:884, artifacts like rgb_gt_pred_ae_*.jpg)."""
+        from ..utils.visualization import save_train_panel
+        logits = self._eval_decode(self.state.params,
+                                   jnp.asarray(batch["image_semseg"][:1]))
+        h, w = batch["semseg"].shape[1:3]
+        logits = jax.image.resize(
+            logits, (1, h, w, logits.shape[-1]), "linear")
+        pred = np.asarray(jnp.argmax(logits, axis=-1))[0]
+        path = os.path.join(self.results_folder,
+                            f"rgb_gt_pred_ae_{step}.jpg")
+        return save_train_panel(path, batch["image"][0],
+                                batch["semseg"][0], pred)
+
     def train_loop(self, seed: int = 0, log_every: int = 20,
-                   save_every: int = 1000, max_steps: Optional[int] = None):
+                   save_every: int = 1000, max_steps: Optional[int] = None,
+                   vis_every: Optional[int] = None):
         assert self.ds is not None, "no training dataset"
         from ..data import Loader
         loader = Loader(self.ds, self.batch_size, seed=seed)
@@ -189,6 +205,8 @@ class TrainerAE:
                     prog.display(step)
                 if step % save_every == 0:
                     self.save(step)
+                if vis_every and step % vis_every == 0:
+                    self.save_train_images(batch, step)
                 if step >= max_steps:
                     break
             epoch += 1

@@ -343,9 +343,26 @@ class TrainerDiffusion:
         return jax.lax.stop_gradient(out)
 
     # ------------------------------------------------------------------
+    def log_images_train(self, batch: dict, pred_x0, step: int):
+        """Decode predicted x0 latents and write an rgb/gt/pred panel
+        (reference log_images_train, trainers_ldm_cond.py:1378-1512)."""
+        from ..utils.visualization import save_train_panel
+        z = jnp.asarray(pred_x0[:1]) * (1.0 / self.seg_scale)
+        logits = self.vae_seg.apply(self.frozen_params["vae_seg"], z, True,
+                                    method=SegVAE.decode)
+        h, w = batch["semseg"].shape[1:3]
+        logits = jax.image.resize(
+            logits.astype(jnp.float32), (1, h, w, logits.shape[-1]),
+            "linear")
+        pred = np.asarray(jnp.argmax(logits, axis=-1))[0]
+        path = os.path.join(self.results_folder, f"rgb_gt_pred_{step}.jpg")
+        return save_train_panel(path, batch["image"][0],
+                                batch["semseg"][0], pred)
+
     def train_loop(self, seed: int = 0, log_every: int = 20,
                    save_every: int = 2000,
-                   max_steps: Optional[int] = None):
+                   max_steps: Optional[int] = None,
+                   vis_every: Optional[int] = None):
         assert self.ds is not None
         from ..data import Loader
         loader = Loader(self.ds, self.batch_size, seed=seed)
@@ -364,9 +381,11 @@ class TrainerDiffusion:
                     ("image", "image_semseg", "semseg", "mask",
                      "inpainting_mask") if k in batch})
                 key, sub = jax.random.split(key)
-                self.state, metrics, _ = self._train_step(
+                self.state, metrics, pred_x0 = self._train_step(
                     self.state, self.frozen_params, db, sub)
                 step += 1
+                if vis_every and step % vis_every == 0:
+                    self.log_images_train(batch, pred_x0, step)
                 if step % log_every == 0:
                     meter.update(float(jax.device_get(metrics["loss"])),
                                  self.batch_size)
