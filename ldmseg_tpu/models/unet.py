@@ -68,6 +68,7 @@ class UNetConfig:
     freq_shift: float = 0.0
     use_pallas_gn: bool = False  # fused Pallas GroupNorm+SiLU in resnets
     use_fused_attention: bool = False  # Pallas VMEM-softmax self-attn
+    gradient_checkpointing: bool = False  # remat down/mid/up blocks
 
 
 class CrossAttention(nn.Module):
@@ -406,10 +407,14 @@ class UNet2DCondition(nn.Module):
         else:
             x = nn.Conv(c0, (3, 3), padding=1, name="conv_in")(sample)
 
-        # 3b. down blocks (:359-373)
+        # 3b. down blocks (:359-373); optional remat trades FLOPs for
+        # activation memory (diffusers enable_gradient_checkpointing
+        # equivalent, main_ldm.py:150-152)
+        DB = nn.remat(DownBlock, static_argnums=()) \
+            if cfg.gradient_checkpointing else DownBlock
         res_stack = [x]
         for i, cout in enumerate(cfg.block_out_channels):
-            x, res = DownBlock(
+            x, res = DB(
                 cout, cfg.layers_per_block, has_attn=cfg.attn_down[i],
                 heads=heads, context_dim=ctx_dim,
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
@@ -436,11 +441,12 @@ class UNet2DCondition(nn.Module):
         # 6. up blocks (:400-425)
         rev = list(reversed(cfg.block_out_channels))
         attn_up = tuple(reversed(cfg.attn_down))
+        UB = nn.remat(UpBlock) if cfg.gradient_checkpointing else UpBlock
         for i, cout in enumerate(rev):
             n_res = cfg.layers_per_block + 1
             res_samples = res_stack[-n_res:]
             res_stack = res_stack[:-n_res]
-            x = UpBlock(
+            x = UB(
                 cout, n_res, has_attn=attn_up[i], heads=heads,
                 context_dim=ctx_dim, groups=cfg.norm_num_groups,
                 eps=cfg.norm_eps,

@@ -74,6 +74,8 @@ class TrainerDiffusion:
                 separate_encoder=mk.get("separate_encoder", False),
                 add_adaptor=mk.get("add_adaptor", False),
                 dropout=tk.get("dropout", 0.0),
+                gradient_checkpointing=tk.get("gradient_checkpointing",
+                                              False),
             )
         self.unet_config = unet_config
         self.unet = UNet2DCondition(config=unet_config)
