@@ -55,8 +55,8 @@ class UpDecoderBlock(nn.Module):
             x = ResnetBlock(self.out_channels, groups=self.groups, eps=1e-6,
                             name=f"resnet{i}")(x)
         if self.add_upsample:
-            b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+            from .unet import nearest_upsample_2x
+            x = nearest_upsample_2x(x)
             x = nn.Conv(self.out_channels, (3, 3), padding=1,
                         name="upsample")(x)
         return x

@@ -183,13 +183,21 @@ class Downsample(nn.Module):
                        name="conv")(x)
 
 
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest upsample as broadcast+reshape. ``jax.image.resize``
+    lowers to a gather with layout copies (visible as the hottest copy ops
+    in the step trace); the broadcast form fuses cleanly."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
 class Upsample(nn.Module):
     channels: int
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        x = nearest_upsample_2x(x)
         return nn.Conv(self.channels, (3, 3), padding=1, name="conv")(x)
 
 

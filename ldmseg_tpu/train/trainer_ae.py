@@ -69,6 +69,10 @@ class TrainerAE:
         self.results_folder = results_folder or p.get("checkpoint_dir",
                                                       "/tmp/ldmseg_ae")
         os.makedirs(self.results_folder, exist_ok=True)
+        from ..utils.metrics_sink import MetricsSink
+        self.metrics = MetricsSink(
+            os.path.join(self.results_folder, 'metrics.jsonl'),
+            use_wandb=p.get('wandb', False))
 
         schedule = make_lr_schedule(
             p.get("lr_scheduler_name", "warmup"),
@@ -203,6 +207,8 @@ class TrainerAE:
                     prog = ProgressMeter(max_steps, list(meters.values()),
                                          prefix=f"Epoch [{epoch}]")
                     prog.display(step)
+                    self.metrics.log(step, **{k: float(m[k])
+                                              for k in meters})
                 if step % save_every == 0:
                     self.save(step)
                 if vis_every and step % vis_every == 0:

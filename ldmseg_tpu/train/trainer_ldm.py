@@ -110,6 +110,10 @@ class TrainerDiffusion:
         self.results_folder = results_folder or p.get("checkpoint_dir",
                                                       "/tmp/ldmseg_ldm")
         os.makedirs(self.results_folder, exist_ok=True)
+        from ..utils.metrics_sink import MetricsSink
+        self.metrics = MetricsSink(
+            os.path.join(self.results_folder, 'metrics.jsonl'),
+            use_wandb=p.get('wandb', False))
 
         schedule = make_lr_schedule(
             p.get("lr_scheduler_name", "warmup"),
@@ -393,6 +397,7 @@ class TrainerDiffusion:
                                  self.batch_size)
                     ProgressMeter(max_steps, [meter],
                                   prefix=f"Epoch [{epoch}]").display(step)
+                    self.metrics.log(step, loss=meter.val)
                 if step % save_every == 0:
                     self.save(step)
                 if step >= max_steps:
