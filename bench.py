@@ -32,7 +32,7 @@ def main():
     unet_cfg = UNetConfig(in_channels=8, use_cross_attention=False,
                           use_fused_attention=True)
     unet = UNet2DCondition(config=unet_cfg)
-    vae_img = ImageVAE(decoder_enabled=False)
+    vae_img = ImageVAE(decoder_enabled=False, use_fused_attention=True)
     vae_seg = SegVAE(in_channels=16, out_channels=128, num_upscalers=2)
 
     key = jax.random.key(0)

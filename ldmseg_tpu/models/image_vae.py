@@ -67,6 +67,7 @@ class VAEEncoder(nn.Module):
     latent_channels: int = 4
     layers_per_block: int = 2
     groups: int = 32
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -80,6 +81,7 @@ class VAEEncoder(nn.Module):
         c = self.block_out_channels[-1]
         x = ResnetBlock(c, groups=self.groups, eps=1e-6, name="mid_resnet0")(x)
         x = AttentionBlock2D(c, groups=self.groups, eps=1e-6,
+                             use_fused=self.use_fused_attention,
                              name="mid_attn")(x)
         x = ResnetBlock(c, groups=self.groups, eps=1e-6, name="mid_resnet1")(x)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
@@ -132,10 +134,12 @@ class ImageVAE(nn.Module):
     out_channels: int = 3
     scaling_factor: float = 0.18215
     decoder_enabled: bool = True
+    use_fused_attention: bool = False
 
     def setup(self):
-        self.encoder = VAEEncoder(self.block_out_channels,
-                                  self.latent_channels, name="encoder")
+        self.encoder = VAEEncoder(
+            self.block_out_channels, self.latent_channels,
+            use_fused_attention=self.use_fused_attention, name="encoder")
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1),
                                   name="quant_conv")
         if self.decoder_enabled:

@@ -98,12 +98,14 @@ class ResnetBlock(nn.Module):
 
 class AttentionBlock2D(nn.Module):
     """Single-head spatial self-attention over HW tokens (diffusers VAE
-    mid-block attention)."""
+    mid-block attention). ``use_fused`` routes through the Pallas
+    VMEM-softmax kernel (D=512 is lane-aligned — zero padding waste)."""
 
     channels: int
     groups: int = 32
     eps: float = 1e-6
     num_heads: int = 1
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -119,9 +121,15 @@ class AttentionBlock2D(nn.Module):
         q = q.reshape(b, -1, self.num_heads, hd)
         k = k.reshape(b, -1, self.num_heads, hd)
         v = v.reshape(b, -1, self.num_heads, hd)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
-        attn = nn.softmax(attn, axis=-1)
-        y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h * w, c)
+        if self.use_fused:
+            from ..ops.pallas.attention import fused_self_attention
+            y = fused_self_attention(q, k, v, 1.0 / math.sqrt(hd),
+                                     block_q=512)
+            y = y.reshape(b, h * w, c)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+            attn = nn.softmax(attn, axis=-1)
+            y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h * w, c)
         y = nn.Dense(c, name="to_out")(y)
         return residual + y.reshape(b, h, w, c)
 

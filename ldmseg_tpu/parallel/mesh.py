@@ -63,6 +63,35 @@ def param_sharding(mesh: Mesh, params) -> object:
         lambda _: NamedSharding(mesh, P()), params)
 
 
+def prefetch_to_device(iterator, mesh: Mesh, size: int = 2,
+                       keys=None):
+    """Double-buffered host->device transfer: batches are scattered onto
+    the mesh ``size`` steps ahead so the input pipeline overlaps device
+    compute (the torch DataLoader ``pin_memory``/prefetch equivalent).
+
+    ``keys``: optional subset of batch keys to transfer; the rest pass
+    through untouched (meta/text stay host-side).
+    """
+    import collections
+    buf = collections.deque()
+
+    def put(batch):
+        if keys is None:
+            arrays = {k: v for k, v in batch.items()
+                      if isinstance(v, np.ndarray)}
+        else:
+            arrays = {k: batch[k] for k in keys if k in batch}
+        rest = {k: v for k, v in batch.items() if k not in arrays}
+        return {**shard_batch(mesh, arrays), **rest}
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def zero1_opt_state_sharding(mesh: Mesh, opt_state) -> object:
     """ZeRO-1 style sharding: each optimizer-state leaf is sharded over the
     ``data`` axis along its largest evenly-divisible dimension; leaves that

@@ -107,3 +107,16 @@ def test_data_parallel_grad_allreduce_semantics():
     g = jax.jit(jax.grad(loss_fn))(ps, xs)
     np.testing.assert_allclose(np.asarray(g["w"]), np.asarray(g_ref["w"]),
                                rtol=1e-5)
+
+
+def test_prefetch_to_device():
+    from ldmseg_tpu.parallel.mesh import prefetch_to_device
+    mesh = make_mesh()
+    batches = [{"x": np.full((8, 4), i, np.float32), "meta": [i]}
+               for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), mesh, size=2))
+    assert len(out) == 5
+    assert out[3]["meta"] == [3]
+    assert out[2]["x"].sharding.spec == jax.sharding.PartitionSpec(
+        "data", None)
+    np.testing.assert_allclose(np.asarray(out[4]["x"]), 4.0)
