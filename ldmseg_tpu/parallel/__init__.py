@@ -1,3 +1,4 @@
+from .tp import tp_param_sharding, apply_tp
 from .mesh import (
     make_mesh,
     shard_batch,
@@ -12,4 +13,6 @@ __all__ = [
     "replicate",
     "zero1_opt_state_sharding",
     "param_sharding",
+    "tp_param_sharding",
+    "apply_tp",
 ]
