@@ -496,7 +496,19 @@ class TrainerDiffusion:
                           "opt_state": self.state.opt_state,
                           "step": np.asarray(self.state.step)}, force=True)
         ckptr.wait_until_finished()
+        self._rotate_checkpoints()
         return path
+
+    def _rotate_checkpoints(self, keep: int = 3):
+        """Keep only the newest ``keep`` step checkpoints (tagged ones
+        like best_model are never removed)."""
+        import shutil
+        root = os.path.abspath(self.results_folder)
+        steps = sorted(
+            (d for d in os.listdir(root) if d.startswith("step_")),
+            key=lambda d: int(d.split("_")[1]))
+        for d in steps[:-keep]:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     def resume(self, path: Optional[str] = None):
         import orbax.checkpoint as ocp

@@ -45,3 +45,32 @@ def save_train_panel(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     Image.fromarray(panel).save(path)
     return path
+
+
+def noise_schedule_panel(
+    path: str,
+    sched,
+    bits_image: np.ndarray,
+    timesteps=(0, 100, 250, 500, 750, 999),
+    seed: int = 0,
+) -> str:
+    """Visualize the noise schedule on one analog-bits map (reference
+    ``visualize_noise_schedule``, trainers_ldm_cond.py:1625-1660): decode
+    the noisy bits at several timesteps and stack the colorized maps."""
+    import jax
+    import jax.numpy as jnp
+    from ..diffusion import add_noise
+    from ..ops.bits import decode_bits_np
+
+    x = jnp.asarray(2.0 * bits_image[None] - 1.0)
+    key = jax.random.key(seed)
+    rows = []
+    for t in timesteps:
+        noise = jax.random.normal(key, x.shape)
+        noisy = add_noise(sched, x, noise, jnp.asarray([t]))
+        dec = decode_bits_np(np.asarray(noisy[0]))
+        rows.append(panoptic_to_rgb(dec))
+    panel = stack_panels(rows)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(panel).save(path)
+    return path
