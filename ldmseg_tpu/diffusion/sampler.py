@@ -33,6 +33,7 @@ def ddim_sample(
     self_condition: bool = False,
     tmin: int = 0,
     return_all: bool = False,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Run the deterministic DDIM sampler.
 
@@ -70,7 +71,8 @@ def ddim_sample(
 
     init = (init_latents * sched.init_noise_sigma, condition0,
             jnp.zeros_like(init_latents))
-    (final_prev, _, final_x0), traj = jax.lax.scan(body, init, ts)
+    (final_prev, _, final_x0), traj = jax.lax.scan(body, init, ts,
+                                                   unroll=unroll)
     del final_prev
     if return_all:
         return final_x0, traj

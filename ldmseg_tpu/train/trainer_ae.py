@@ -229,6 +229,17 @@ class TrainerAE:
                                 method=SegVAE.decode)
         return logits.astype(jnp.float32)
 
+    def compute_metrics(self, metrics=("miou", "pq"), **kw) -> dict:
+        """Eval dispatcher (reference compute_metrics,
+        trainers_ae.py:398 — also run at step 0 as a smoke test)."""
+        out = {}
+        if "miou" in metrics:
+            out["miou"] = self.compute_miou(**kw)
+        if "pq" in metrics:
+            out["pq"] = self.compute_pq(
+                **{k: v for k, v in kw.items() if k == "max_batches"})
+        return out
+
     def compute_miou(self, max_batches: Optional[int] = None,
                      batch_size: Optional[int] = None) -> dict:
         """mIoU of reconstruction on the val set (trainers_ae.py:947)."""

@@ -447,6 +447,13 @@ class TrainerDiffusion:
             self.num_inference_steps, repeat_noise=repeat_noise)
         return logits, x0
 
+    def compute_metrics(self, metrics=("pq",), **kw) -> dict:
+        """Eval dispatcher (trainers_ldm_cond.py:990)."""
+        out = {}
+        if "pq" in metrics:
+            out["pq"] = self.compute_pq(**kw)
+        return out
+
     def compute_pq(self, num_inference_steps: Optional[int] = None,
                    max_batches: Optional[int] = None,
                    thing_ids=frozenset(), save_model: bool = False,
