@@ -122,3 +122,49 @@ def test_unet_fused_flags_build():
                                  jnp.zeros((1,), jnp.int32))
     out = model.apply(params, jnp.zeros((1, 24, 80, 8)), jnp.asarray(0))
     assert out.shape == (1, 24, 80, 4)
+
+
+def test_gn_silu_conv_interpret_and_fallback():
+    """Fused GN+SiLU+conv3x3: interpret-mode kernel numerics + XLA
+    fallback dispatch (the kernel measured slower than XLA's conv engine
+    on the v5e — see BENCH_NOTES — so it stays opt-in)."""
+    import functools
+    from jax.experimental.pallas import tpu as pltpu
+    from ldmseg_tpu.ops.pallas.gn_silu_conv import (
+        _kernel, _reference, gn_silu_conv)
+
+    b, h, w, c, co, g = 2, 8, 16, 16, 8, 4
+    ks = jax.random.split(jax.random.key(0), 5)
+    x = jax.random.normal(ks[0], (b, h, w, c), jnp.float32)
+    scale = jax.random.normal(ks[1], (c,)) * 0.1 + 1.0
+    bias = jax.random.normal(ks[2], (c,)) * 0.1
+    wk = jax.random.normal(ks[3], (3, 3, c, co)) * 0.1
+    bk = jax.random.normal(ks[4], (co,)) * 0.1
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, groups=g, eps=1e-5),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((3, 3, c, co), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((co,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, co), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, w + 2, c), x.dtype),
+            pltpu.VMEM((h, w + 2, co), jnp.float32),
+        ],
+        interpret=True,
+    )(x, scale, bias, wk, bk)
+    ref = _reference(x, scale, bias, wk, bk, g, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3,
+                               atol=1e-3)
+
+    # dispatch falls back to XLA for big tiles
+    out2 = gn_silu_conv(x, scale, bias, wk, bk, g, 1e-5,
+                        max_vmem_tile_bytes=64)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
