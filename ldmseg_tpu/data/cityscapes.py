@@ -54,6 +54,8 @@ class CityscapesDVPS:
         self.inpainting_strength = inpainting_strength
         self.maskgen = MaskingGenerator(input_size=inpaint_mask_size,
                                         mode="random_local")
+        from .base import get_metadata
+        self.meta_data = get_metadata(num_classes, root=prefix)
         self.samples = self._index(os.path.join(prefix, split))
 
     @staticmethod
@@ -80,6 +82,10 @@ class CityscapesDVPS:
                        ("leftImg8bit", "instanceTrainIds", "depth")):
                     samples.append(frame)
         return samples
+
+    def get_class_names(self):
+        from .base import CITYSCAPES_CATEGORY_NAMES
+        return CITYSCAPES_CATEGORY_NAMES
 
     def __len__(self):
         return len(self.samples)

@@ -89,6 +89,8 @@ class KittiDVPS:
         self.inpainting_strength = inpainting_strength
         self.maskgen = MaskingGenerator(input_size=inpaint_mask_size,
                                         mode="random_local")
+        from .base import get_metadata
+        self.meta_data = get_metadata(num_classes, root=prefix)
         self.samples = self._index(os.path.join(prefix, split))
         self._scene_tables: dict = {}
 
@@ -121,6 +123,10 @@ class KittiDVPS:
                        ("leftImg8bit", "class", "instance", "depth")):
                     samples.append(frame)
         return samples
+
+    def get_class_names(self):
+        from .base import CITYSCAPES_CATEGORY_NAMES
+        return CITYSCAPES_CATEGORY_NAMES
 
     def __len__(self):
         return len(self.samples)

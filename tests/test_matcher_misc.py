@@ -92,3 +92,54 @@ def test_kitti_asymmetric_bits(tmp_path):
                    num_bits=5, num_bits_instance=6)
     s = ds[0]
     assert s["image_semseg"].shape == (64, 128, 11)  # 5 + 6 channels
+
+
+def test_checkify_guard():
+    from ldmseg_tpu.train.debug import checkified, assert_all_finite
+    import pytest as _pytest
+
+    def bad(x):
+        return jnp.log(x)  # NaN for negative input
+
+    f = checkified(jax.jit(bad))
+    assert np.isfinite(float(f(jnp.asarray(1.0))))
+    with _pytest.raises(Exception):
+        f(jnp.asarray(-1.0))
+    with _pytest.raises(FloatingPointError):
+        assert_all_finite({"a": jnp.asarray([1.0, float("nan")])})
+
+
+def test_dataset_metadata(tmp_path):
+    from tests.test_data import _write_kitti_tree
+    from ldmseg_tpu.data import KittiDVPS
+    from ldmseg_tpu.data.base import THING_IDS
+    _write_kitti_tree(tmp_path)
+    ds = KittiDVPS(prefix=str(tmp_path), split="train", size=(64, 128))
+    assert ds.get_class_names()[13] == "car"
+    assert ds.meta_data["thing_dataset_id_to_contiguous_id"][11] == 11
+    assert THING_IDS == {11, 12, 13, 14, 15, 16, 17, 18}
+
+
+def test_remat_unet_matches_no_remat():
+    from ldmseg_tpu.models import UNet2DCondition, UNetConfig
+    base = dict(in_channels=8, out_channels=4,
+                block_out_channels=(8, 16, 16, 32), layers_per_block=1,
+                cross_attention_dim=16, attention_head_dim=2,
+                norm_num_groups=4, use_cross_attention=False)
+    m0 = UNet2DCondition(config=UNetConfig(**base))
+    m1 = UNet2DCondition(
+        config=UNetConfig(**base, gradient_checkpointing=True))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 24, 80, 8),
+                    jnp.float32)
+    t = jnp.zeros((2,), jnp.int32)
+    p = jax.jit(m0.init)(jax.random.key(0), x, t)
+    out0 = m0.apply(p, x, t)
+    out1 = m1.apply(p, x, t)  # same params: remat must be numerically id.
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               rtol=1e-4, atol=1e-5)
+    g0 = jax.grad(lambda pp: m0.apply(pp, x, t).sum())(p)
+    g1 = jax.grad(lambda pp: m1.apply(pp, x, t).sum())(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
