@@ -86,6 +86,10 @@ def main(argv=None):
         print(trainer.compute_pq())
         return
 
+    # eval-before-train smoke test (reference trainers_ae.py:398)
+    if cfg.get("eval_first", True):
+        print("step-0 eval:", trainer.compute_metrics(max_batches=2))
+
     trainer.train_loop()
     trainer.save()
     print(trainer.compute_miou(max_batches=8))

@@ -39,7 +39,30 @@ def main(argv=None):
     print(f"Run dir: {cfg['output_dir']}")
 
     train_ds, val_ds = build_datasets(cfg, prefix)
-    trainer = TrainerDiffusion(cfg, dataset=train_ds, val_dataset=val_ds,
+
+    # optional UNet-size overrides (the reference pins SD-1.4; these allow
+    # scratch-scale / smoke runs): model_kwargs.block_out_channels etc.
+    unet_config = None
+    mk = cfg["model_kwargs"]
+    if "block_out_channels" in mk:
+        unet_config = UNetConfig(
+            in_channels=mk.get("in_channels", 8) + mk.get("cond_channels", 0),
+            out_channels=4,
+            block_out_channels=tuple(mk["block_out_channels"]),
+            layers_per_block=mk.get("layers_per_block", 2),
+            cross_attention_dim=mk.get("cross_attention_dim", 768),
+            attention_head_dim=mk.get("attention_head_dim", 8),
+            norm_num_groups=mk.get("norm_num_groups", 32),
+            use_cross_attention=(
+                cfg["train_kwargs"].get("image_descriptors",
+                                        "remove") != "remove"),
+            cond_channels=mk.get("cond_channels", 0),
+            gradient_checkpointing=cfg["train_kwargs"].get(
+                "gradient_checkpointing", False),
+        )
+
+    trainer = TrainerDiffusion(cfg, unet_config=unet_config,
+                               dataset=train_ds, val_dataset=val_ds,
                                results_folder=cfg["checkpoint_dir"])
 
     # ----- weight ingestion (main_ldm.py:138-169) -----
@@ -80,6 +103,11 @@ def main(argv=None):
     if cfg.get("eval_only"):
         print(trainer.compute_pq(max_batches=8))
         return
+
+    # eval-before-train smoke test (trainers_ldm_cond.py:922-923)
+    if cfg.get("eval_first", True):
+        print("step-0 eval:", trainer.compute_metrics(
+            max_batches=1, num_inference_steps=5))
 
     trainer.train_loop()
     trainer.save()
