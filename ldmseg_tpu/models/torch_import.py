@@ -241,3 +241,74 @@ def _to_jnp(tree):
     if isinstance(tree, dict):
         return {k: _to_jnp(v) for k, v in tree.items()}
     return jnp.asarray(np.asarray(tree, dtype=np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Reference stage-1 VAE checkpoints (torch GeneralVAESeg state dicts)
+# ---------------------------------------------------------------------------
+
+def seg_vae_key_map(
+    block_out_channels=(32, 64, 128, 256),
+    num_upscalers: int = 1,
+    num_mid_blocks: int = 0,
+) -> dict:
+    """Map reference ``GeneralVAESeg`` Sequential-index keys
+    (``encoder.<i>`` / ``decoder.<i>``, vae.py:124-245) to our named
+    modules. Only the default (non-mid-block) topology is indexed; mid
+    resnets would need the diffusers block map."""
+    assert num_mid_blocks == 0, "mid-block import not implemented"
+    m: dict = {"encoder.0": ("encoder", "in_conv", "conv")}
+    idx = 2
+    for i in range(len(block_out_channels) - 1):
+        m[f"encoder.{idx}"] = ("encoder", f"down{i}_conv1", "conv")
+        m[f"encoder.{idx + 1}"] = ("encoder", f"down{i}_conv2", "conv")
+        idx += 3  # conv, conv, SiLU
+    m[f"encoder.{idx}"] = ("encoder", "out_conv1", "conv")
+    idx += 2  # conv + Identity(mid)
+    m[f"encoder.{idx}"] = ("encoder", "norm", "norm")
+    m[f"encoder.{idx + 2}"] = ("encoder", "out_conv2", "conv")
+
+    m["decoder.0"] = ("decoder", "in_conv", "conv")
+    idx = 2  # conv_in + Identity(mid)
+    for i in range(num_upscalers):
+        m[f"decoder.{idx}"] = ("decoder", f"up{i}_convt", "convt")
+        m[f"decoder.{idx + 1}"] = ("decoder", f"up{i}_ln", "ln2d")
+        idx += 3  # convT, LayerNorm2d, SiLU
+    m[f"decoder.{idx}"] = ("decoder", "norm", "norm")
+    m[f"decoder.{idx + 2}"] = ("decoder", "out_conv", "conv")
+    return m
+
+
+def load_reference_seg_vae(
+    path: str,
+    block_out_channels=(32, 64, 128, 256),
+    num_upscalers: int = 1,
+    state_key: str = "vae",
+) -> dict:
+    """Convert a reference stage-1 checkpoint (``torch.save({'vae': ...})``,
+    trainers_ae.py:534-548; 'module.' DDP prefixes stripped like
+    vae.py:117-122) into our SegVAE param tree."""
+    import torch
+    data = torch.load(path, map_location="cpu", weights_only=False)
+    sd = data[state_key] if isinstance(data, dict) and state_key in data \
+        else data
+    sd = {k.replace("module.", ""): v.numpy() for k, v in sd.items()}
+
+    keymap = seg_vae_key_map(block_out_channels, num_upscalers)
+    params: dict = {"encoder": {}, "decoder": {}}
+    for src, (group, name, kind) in keymap.items():
+        w = sd[f"{src}.weight"]
+        b = sd[f"{src}.bias"]
+        if kind == "conv":
+            leaf = {"kernel": w.transpose(2, 3, 1, 0), "bias": b}
+        elif kind == "convt":
+            leaf = {"kernel": w.transpose(2, 3, 0, 1)[::-1, ::-1].copy(),
+                    "bias": b}
+        elif kind == "norm":
+            leaf = {"scale": w, "bias": b}
+        elif kind == "ln2d":
+            leaf = {"ln": {"scale": w, "bias": b}}
+        else:
+            raise ValueError(kind)
+        params[group][name] = leaf
+    return {"params": _to_jnp(params)}

@@ -248,3 +248,54 @@ def test_torch_import_roundtrip(tmp_path):
                           jnp.asarray([3]), jnp.ones((1, 3, 16)))
     np.testing.assert_allclose(_np(out_ref), _np(out_new), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_reference_seg_vae_import_roundtrip(tmp_path):
+    """Reference-format stage-1 checkpoint -> our SegVAE params: same tree
+    and numerically identical forward as direct init."""
+    import torch as _torch
+    from ldmseg_tpu.models import SegVAE
+    from ldmseg_tpu.models.torch_import import (
+        seg_vae_key_map, load_reference_seg_vae)
+
+    cfg = dict(in_channels=10, int_channels=64, out_channels=32,
+               block_out_channels=(8, 16, 32, 64), latent_channels=4,
+               norm_num_groups=8, num_upscalers=2, upscale_channels=64,
+               num_latents=2)
+    model = SegVAE(**cfg)
+    ref_params = jax.jit(
+        lambda k, x: model.init({"params": k,
+                                 "sample": jax.random.key(0)}, x,
+                                sample_posterior=False))(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 10)))
+
+    # write our params back out in the reference's Sequential-index format
+    keymap = seg_vae_key_map(cfg["block_out_channels"],
+                             cfg["num_upscalers"])
+    sd = {}
+    for src, (group, name, kind) in keymap.items():
+        leaf = ref_params["params"][group][name]
+        if kind == "conv":
+            w = _np(leaf["kernel"]).transpose(3, 2, 0, 1)
+            b = _np(leaf["bias"])
+        elif kind == "convt":
+            w = _np(leaf["kernel"])[::-1, ::-1].transpose(2, 3, 0, 1)
+            b = _np(leaf["bias"])
+        elif kind == "norm":
+            w, b = _np(leaf["scale"]), _np(leaf["bias"])
+        else:  # ln2d
+            w = _np(leaf["ln"]["scale"])
+            b = _np(leaf["ln"]["bias"])
+        sd[f"module.{src}.weight"] = _torch.from_numpy(w.copy())
+        sd[f"module.{src}.bias"] = _torch.from_numpy(b.copy())
+    _torch.save({"vae": sd}, tmp_path / "model.pt")
+
+    loaded = load_reference_seg_vae(
+        str(tmp_path / "model.pt"), cfg["block_out_channels"],
+        cfg["num_upscalers"])
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 10),
+                    jnp.float32)
+    out_ref, _ = model.apply(ref_params, x, sample_posterior=False)
+    out_new, _ = model.apply(loaded, x, sample_posterior=False)
+    np.testing.assert_allclose(_np(out_new), _np(out_ref), rtol=1e-5,
+                               atol=1e-6)
