@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from ..ops.grid_sample import grid_sample

@@ -123,7 +123,6 @@ class TrainerDiffusion:
             final_lr=p["lr_scheduler_kwargs"].get("final_lr", 1e-6),
         )
         from ..models.unet import freeze_filter
-        from .optim import scale_by_path
         frozen = tuple(tk.get("freeze_layers", ()))
         lr_factor = None
         if frozen:
