@@ -283,6 +283,7 @@ class SegVAE(nn.Module):
     fuse_rgb: bool = False
     resize_input: bool = False
     skip_encoder: bool = False
+    image_encoder: bool = False  # share the SD AutoencoderKL encoder
     num_embeddings: int = 128
 
     @property
@@ -318,17 +319,29 @@ class SegVAE(nn.Module):
                 self._codebook_param = self.param(
                     "codebook", nn.initializers.normal(1.0),
                     (self.num_embeddings, self.latent_channels))
-        self.encoder = SegEncoder(
-            block_out_channels=self.block_out_channels,
-            int_channels=self.int_channels,
-            out_channels=enc_out,
-            norm_num_groups=self.norm_num_groups,
-            num_mid_blocks=self.num_mid_blocks,
-            resize_input=self.resize_input,
-            skip_encoder=self.skip_encoder,
-            downsample_factor=self.downsample_factor,
-            name="encoder",
-        )
+        if self.image_encoder:
+            # shared_vae_encoder option (base.yaml:13; vae.py:87-95 passes
+            # an external frozen encoder): the SD AutoencoderKL encoder
+            # topology, so pretrained SD weights drop in via
+            # torch_import.load_diffusers_vae's encoder subtree.
+            from .image_vae import VAEEncoder
+            assert self.parametrization == "gaussian" and \
+                self._effective_num_latents() == 2, \
+                "image_encoder implies gaussian moments (2x latent)"
+            self.encoder = VAEEncoder(latent_channels=self.latent_channels,
+                                      name="encoder")
+        else:
+            self.encoder = SegEncoder(
+                block_out_channels=self.block_out_channels,
+                int_channels=self.int_channels,
+                out_channels=enc_out,
+                norm_num_groups=self.norm_num_groups,
+                num_mid_blocks=self.num_mid_blocks,
+                resize_input=self.resize_input,
+                skip_encoder=self.skip_encoder,
+                downsample_factor=self.downsample_factor,
+                name="encoder",
+            )
         self.decoder = SegDecoder(
             int_channels=self.int_channels,
             out_channels=self.out_channels,

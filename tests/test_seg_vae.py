@@ -224,3 +224,34 @@ def test_skip_encoder_variant():
     x = jnp.zeros((1, 64, 64, cfg["in_channels"]))
     post = model.apply(params, x, method=SegVAE.encode)
     assert post.mean.shape == (1, 8, 8, cfg["latent_channels"])
+
+
+def test_shared_image_encoder_variant():
+    """shared_vae_encoder (base.yaml:13): SegVAE built on the SD
+    AutoencoderKL encoder topology; param subtree matches ImageVAE's
+    encoder so SD weights drop in."""
+    from ldmseg_tpu.models import SegVAE
+    from ldmseg_tpu.models.image_vae import ImageVAE
+
+    model = SegVAE(in_channels=3, out_channels=16, latent_channels=4,
+                   num_latents=2, num_upscalers=2, upscale_channels=16,
+                   int_channels=16, norm_num_groups=4, image_encoder=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = jax.jit(lambda k, xx: model.init(
+        {"params": k, "sample": jax.random.key(0)}, xx,
+        sample_posterior=False))(jax.random.key(0), x)
+    dec, post = model.apply(params, x, sample_posterior=False)
+    assert post.mean.shape == (1, 8, 8, 4)
+
+    # identical encoder param paths as ImageVAE.encoder
+    iv = ImageVAE(decoder_enabled=False)
+    iv_params = jax.jit(lambda k, xx: iv.init(
+        {"params": k}, xx, method=ImageVAE.encode))(
+        jax.random.key(1), jnp.zeros((1, 64, 64, 3)))
+    ours = {jax.tree_util.keystr(k)
+            for k, _ in jax.tree_util.tree_leaves_with_path(
+                params["params"]["encoder"])}
+    theirs = {jax.tree_util.keystr(k)
+              for k, _ in jax.tree_util.tree_leaves_with_path(
+                  iv_params["params"]["encoder"])}
+    assert ours == theirs
