@@ -196,8 +196,16 @@ class Upsample(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, x):
-        x = nearest_upsample_2x(x)
+    def __call__(self, x, target_hw=None):
+        b, h, w, c = x.shape
+        if target_hw is not None and target_hw != (h * 2, w * 2):
+            # odd skip sizes: resize to the exact skip resolution (the
+            # reference's forward_upsample_size path, unet.py:297-299,
+            # :409-410)
+            x = jax.image.resize(
+                x, (b, target_hw[0], target_hw[1], c), "nearest")
+        else:
+            x = nearest_upsample_2x(x)
         return nn.Conv(self.channels, (3, 3), padding=1, name="conv")(x)
 
 
@@ -249,7 +257,8 @@ class UpBlock(nn.Module):
     use_fused_attention: bool = False
 
     @nn.compact
-    def __call__(self, x, res_samples, temb, context=None):
+    def __call__(self, x, res_samples, temb, context=None,
+                 upsample_size=None):
         for i in range(self.num_layers):
             res = res_samples.pop()
             x = jnp.concatenate([x, res], axis=-1)
@@ -264,7 +273,8 @@ class UpBlock(nn.Module):
                                   use_fused_attention=self.use_fused_attention,
                                   name=f"attn{i}")(x, context)
         if self.add_upsample:
-            x = Upsample(self.out_channels, name="upsample")(x)
+            x = Upsample(self.out_channels, name="upsample")(
+                x, target_hw=upsample_size)
         return x
 
 
@@ -454,6 +464,9 @@ class UNet2DCondition(nn.Module):
             n_res = cfg.layers_per_block + 1
             res_samples = res_stack[-n_res:]
             res_stack = res_stack[:-n_res]
+            # exact skip resolution for odd sizes (forward_upsample_size)
+            upsample_size = (res_stack[-1].shape[1:3] if res_stack
+                             else None)
             x = UB(
                 cout, n_res, has_attn=attn_up[i], heads=heads,
                 context_dim=ctx_dim, groups=cfg.norm_num_groups,
@@ -462,7 +475,8 @@ class UNet2DCondition(nn.Module):
                 use_cross_attention=cfg.use_cross_attention,
                 use_pallas_gn=cfg.use_pallas_gn,
                 use_fused_attention=cfg.use_fused_attention,
-                name=f"up_blocks{i}")(x, res_samples, emb, context)
+                name=f"up_blocks{i}")(x, res_samples, emb, context,
+                                      upsample_size=upsample_size)
 
         # 7. out head (:427-431)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,

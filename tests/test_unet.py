@@ -164,3 +164,16 @@ def test_posenet():
     assert masks[0].shape[:3] == (1, 64, 192)  # full-res explainability
     exp1, pose_eval = model.apply(params, tgt, refs, train=False)
     assert pose_eval.shape == (1, 2, 6)
+
+
+def test_odd_latent_sizes():
+    """Latents whose spatial dims go odd mid-way (e.g. 12 -> 6 -> 3 -> 2)
+    must round-trip through the up path via exact skip-size upsampling
+    (the reference's forward_upsample_size, unet.py:297-299,:409-410)."""
+    model, params, _ = _init(TINY, h=12, w=40)
+    out = model.apply(params, jnp.zeros((2, 12, 40, 8)), jnp.asarray(0))
+    assert out.shape == (2, 12, 40, 4)
+    # 20-wide: 20 -> 10 -> 5 -> 3(ceil)
+    model2, params2, _ = _init(TINY, h=16, w=20)
+    out = model2.apply(params2, jnp.zeros((2, 16, 20, 8)), jnp.asarray(0))
+    assert out.shape == (2, 16, 20, 4)
