@@ -255,10 +255,12 @@ class UpBlock(nn.Module):
     use_cross_attention: bool
     use_pallas_gn: bool = False
     use_fused_attention: bool = False
+    # static target resolution for odd skip sizes; a module attribute so
+    # nn.remat doesn't trace it (a traced tuple breaks the shape logic)
+    upsample_size: Optional[Tuple[int, int]] = None
 
     @nn.compact
-    def __call__(self, x, res_samples, temb, context=None,
-                 upsample_size=None):
+    def __call__(self, x, res_samples, temb, context=None):
         for i in range(self.num_layers):
             res = res_samples.pop()
             x = jnp.concatenate([x, res], axis=-1)
@@ -274,7 +276,7 @@ class UpBlock(nn.Module):
                                   name=f"attn{i}")(x, context)
         if self.add_upsample:
             x = Upsample(self.out_channels, name="upsample")(
-                x, target_hw=upsample_size)
+                x, target_hw=self.upsample_size)
         return x
 
 
@@ -475,8 +477,8 @@ class UNet2DCondition(nn.Module):
                 use_cross_attention=cfg.use_cross_attention,
                 use_pallas_gn=cfg.use_pallas_gn,
                 use_fused_attention=cfg.use_fused_attention,
-                name=f"up_blocks{i}")(x, res_samples, emb, context,
-                                      upsample_size=upsample_size)
+                upsample_size=upsample_size,
+                name=f"up_blocks{i}")(x, res_samples, emb, context)
 
         # 7. out head (:427-431)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
