@@ -2,7 +2,7 @@
 
 Replaces torch ``DataLoader(num_workers=8)`` + ``DistributedSampler``
 (reference trainers_ae.py:159-204, trainers_ldm_cond.py:246-247): a
-thread pool decodes/augments samples ahead of the训练 step while the TPU
+thread pool decodes/augments samples ahead of the train step while the TPU
 computes. PNG decode releases the GIL inside PIL, so threads scale; a C++
 decode path can slot in behind the same interface later.
 

@@ -113,7 +113,7 @@ def vpq_eval_device(
     Args:
       pred_ids / gt_ids: int arrays of identical shape (any rank),
         panoptic ids = cat * max_ins + ins.
-      max_seg: static cap on distinct segments per map (典型 windows have
+      max_seg: static cap on distinct segments per map (typical windows have
         < 100).
 
     Returns: (iou, tp, fn, fp) each ``[num_cat]`` float32.

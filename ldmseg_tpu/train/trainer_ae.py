@@ -50,6 +50,8 @@ class TrainerAE:
         self.train_num_steps = tk["train_num_steps"]
         self.prob_inpainting = tk.get("prob_inpainting", 0.0)
         self.latent_mask = tk.get("latent_mask", False)
+        self.fuse_rgb = vk.get("fuse_rgb", False)
+        self.accumulate = tk.get("accumulate", 1)
         self.loss_weights = p["loss_weights"]
         self.compute_dtype = jnp.bfloat16 if tk.get("weight_dtype") == \
             "bfloat16" else jnp.float32
@@ -60,8 +62,13 @@ class TrainerAE:
                 "importance_sample_ratio"],
             ignore_label=self.ignore_label,
             temperature=p["loss_kwargs"]["temperature"],
-            max_masks=p["loss_kwargs"].get("max_masks", 32),
+            max_masks=p["loss_kwargs"].get("max_masks", self.num_classes),
         )
+        if self.loss_cfg.max_masks < self.num_classes:
+            print(f"WARNING: max_masks={self.loss_cfg.max_masks} < "
+                  f"num_classes={self.num_classes}; the mask loss drops "
+                  "the smallest segments on crowded scenes "
+                  "(exact parity needs max_masks >= num_classes)")
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self.ds = dataset
@@ -98,38 +105,53 @@ class TrainerAE:
     # ------------------------------------------------------------------
     def init_state(self, sample_batch: dict, seed: int = 0) -> TrainState:
         x = jnp.asarray(sample_batch["image_semseg"][:1], self.compute_dtype)
+        rgb = None
+        if self.fuse_rgb:
+            rgb = 2.0 * jnp.asarray(sample_batch["image"][:1],
+                                    self.compute_dtype) - 1.0
         params = jax.jit(functools.partial(
             self.vae.init, sample_posterior=False))(
             {"params": jax.random.key(seed), "sample": jax.random.key(0)},
-            2.0 * x - 1.0)
+            2.0 * x - 1.0, rgb_sample=rgb)
         params = replicate(self.mesh, params)
         self.state = TrainState.create(
             params, self.tx, ema=self.p.get("ema_on", False),
             mesh=self.mesh,
-            zero1=self.p.get("optimizer_zero_redundancy", False))
+            zero1=self.p.get("optimizer_zero_redundancy", False),
+            accumulate=self.accumulate)
         return self.state
 
     # ------------------------------------------------------------------
+    def _corrupt_inputs(self, key, images, targets):
+        """Random sparse-visibility corruption (trainers_ae.py:303-311):
+        per-sample strength, 32x32 noise upsampled; mask==1 marks the
+        kept-and-supervised region, everything else is blanked and
+        CE-ignored (images[~masks]=0, losses.py:325-326
+        targets[~masks]=ignore). Returns (images, mask)."""
+        b = images.shape[0]
+        k1, k2 = jax.random.split(key)
+        strengths = jax.random.uniform(k1, (b, 1, 1)) * self.prob_inpainting
+        noise = jax.random.uniform(k2, (b, 32, 32)) < strengths
+        h, w = images.shape[1:3]
+        m = jax.image.resize(noise.astype(jnp.float32), (b, h, w), "nearest")
+        m = jnp.where(targets == self.ignore_label, 0.0, m)
+        images = jnp.where(m[..., None] > 0, images, 0.0)
+        return images, m
+
     def _forward_loss(self, params, batch, key):
         key_sample, key_mask, key_points = jax.random.split(key, 3)
         images = 2.0 * batch["image_semseg"].astype(self.compute_dtype) - 1.0
         targets = batch["semseg"]
 
+        rgbs = None
+        if self.fuse_rgb:
+            # feed the RGB frame alongside the bits (trainers_ae.py:299-301)
+            rgbs = 2.0 * batch["image"].astype(self.compute_dtype) - 1.0
+
         corrupt_mask = None
         if self.prob_inpainting > 0:
-            # random block corruption (trainers_ae.py:303-311): per-sample
-            # strength, 32x32 noise upsampled, valid regions only
-            b = images.shape[0]
-            k1, k2 = jax.random.split(key_mask)
-            strengths = jax.random.uniform(k1, (b, 1, 1)) * \
-                self.prob_inpainting
-            noise = jax.random.uniform(k2, (b, 32, 32)) < strengths
-            h, w = images.shape[1:3]
-            m = jax.image.resize(noise.astype(jnp.float32), (b, h, w),
-                                 "nearest")
-            m = jnp.where(targets == self.ignore_label, 0.0, m)
-            images = jnp.where(m[..., None] > 0, 0.0, images)
-            corrupt_mask = m  # where 1 -> corrupted -> counted (see ref)
+            images, corrupt_mask = self._corrupt_inputs(key_mask, images,
+                                                        targets)
 
         valid_mask = None
         if self.latent_mask:
@@ -141,12 +163,12 @@ class TrainerAE:
             valid_mask = (t != self.ignore_label).astype(self.compute_dtype)
 
         logits, posterior = self.vae.apply(
-            params, images, sample_posterior=True, valid_mask=valid_mask,
-            rngs={"sample": key_sample})
+            params, images, sample_posterior=True, rgb_sample=rgbs,
+            valid_mask=valid_mask, rngs={"sample": key_sample})
         logits = logits.astype(jnp.float32)
 
         losses = point_losses(key_points, logits, targets, self.loss_cfg,
-                              corrupt_mask=None)
+                              corrupt_mask=corrupt_mask)
         losses["kl"] = jnp.mean(posterior.kl())
         total = sum(self.loss_weights[k] * v for k, v in losses.items())
         return total, losses
@@ -164,8 +186,9 @@ class TrainerAE:
         """Write an rgb/gt/pred panel (reference save_train_images,
         trainers_ae.py:884, artifacts like rgb_gt_pred_ae_*.jpg)."""
         from ..utils.visualization import save_train_panel
-        logits = self._eval_decode(self.state.params,
-                                   jnp.asarray(batch["image_semseg"][:1]))
+        logits = self._eval_logits(
+            {k: v[:1] for k, v in batch.items() if k in
+             ("image", "image_semseg")})
         h, w = batch["semseg"].shape[1:3]
         logits = jax.image.resize(
             logits, (1, h, w, logits.shape[-1]), "linear")
@@ -184,6 +207,7 @@ class TrainerAE:
         max_steps = max_steps or self.train_num_steps
         meters = {k: AverageMeter(k, ":.4f")
                   for k in ("loss", "ce", "mask", "kl")}
+        pending = []
         key = jax.random.key(seed)
 
         step = int(self.state.step) if self.state is not None else 0
@@ -193,21 +217,30 @@ class TrainerAE:
             for batch in loader.epoch(epoch):
                 if self.state is None:
                     self.init_state(batch, seed)
-                db = shard_batch(self.mesh, {
+                dev_batch = {
                     "image_semseg": batch["image_semseg"],
                     "semseg": batch["semseg"],
-                })
+                }
+                if self.fuse_rgb:
+                    dev_batch["image"] = batch["image"]
+                db = shard_batch(self.mesh, dev_batch)
                 key, sub = jax.random.split(key)
                 self.state, metrics = self._train_step(self.state, db, sub)
+                # keep every step's (device) metrics; fetch in one
+                # device_get at log time so the running averages cover all
+                # steps without a per-step host sync
+                pending.append(metrics)
                 step += 1
                 if step % log_every == 0:
-                    m = jax.device_get(metrics)
-                    for k, meter in meters.items():
-                        meter.update(float(m[k]), self.batch_size)
+                    for m in jax.device_get(pending):
+                        for k, meter in meters.items():
+                            meter.update(float(m[k]), self.batch_size)
+                    last = jax.device_get(pending[-1])
+                    pending.clear()
                     prog = ProgressMeter(max_steps, list(meters.values()),
                                          prefix=f"Epoch [{epoch}]")
                     prog.display(step)
-                    self.metrics.log(step, **{k: float(m[k])
+                    self.metrics.log(step, **{k: float(last[k])
                                               for k in meters})
                 if step % save_every == 0:
                     self.save(step)
@@ -220,14 +253,25 @@ class TrainerAE:
         return self.state
 
     # ------------------------------------------------------------------
-    def _eval_decode_impl(self, params, bits):
+    def _eval_decode_impl(self, params, bits, rgb=None):
         """Full-res logits for eval: encode(mode) -> decode(interp)
-        (trainers_ae.py:947-1010 path)."""
+        (trainers_ae.py:947-1010 path; rgb fused when fuse_rgb,
+        :968-972)."""
         images = 2.0 * bits.astype(self.compute_dtype) - 1.0
+        if rgb is not None:
+            rgbs = 2.0 * rgb.astype(self.compute_dtype) - 1.0
+            images = jnp.concatenate([images, rgbs], axis=-1)
         posterior = self.vae.apply(params, images, method=SegVAE.encode)
         logits = self.vae.apply(params, posterior.mode(), True,
                                 method=SegVAE.decode)
         return logits.astype(jnp.float32)
+
+    def _eval_logits(self, batch: dict) -> jnp.ndarray:
+        """Eval forward on a host batch; uses EMA params when kept."""
+        rgb = jnp.asarray(batch["image"]) if self.fuse_rgb else None
+        return self._eval_decode(self.state.eval_params(),
+                                 jnp.asarray(batch["image_semseg"]),
+                                 rgb)
 
     def compute_metrics(self, metrics=("miou", "pq"), **kw) -> dict:
         """Eval dispatcher (reference compute_metrics,
@@ -251,8 +295,7 @@ class TrainerAE:
         loader = Loader(self.ds_val, batch_size or self.batch_size,
                         shuffle=False, drop_last=False)
         for i, batch in enumerate(loader.epoch(0)):
-            logits = self._eval_decode(self.state.params,
-                                       jnp.asarray(batch["image_semseg"]))
+            logits = self._eval_logits(batch)
             h, w = batch["semseg"].shape[1:3]
             logits = jax.image.resize(
                 logits, (logits.shape[0], h, w, logits.shape[-1]), "linear")
@@ -277,8 +320,7 @@ class TrainerAE:
         loader = Loader(self.ds_val, self.batch_size, shuffle=False,
                         drop_last=False)
         for i, batch in enumerate(loader.epoch(0)):
-            logits = self._eval_decode(self.state.params,
-                                       jnp.asarray(batch["image_semseg"]))
+            logits = self._eval_logits(batch)
             h, w = batch["semseg"].shape[1:3]
             logits = jax.image.resize(
                 logits, (logits.shape[0], h, w, logits.shape[-1]), "linear")
@@ -300,10 +342,14 @@ class TrainerAE:
         path = os.path.join(os.path.abspath(self.results_folder),
                             f"step_{step or int(self.state.step)}")
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"params": self.state.params,
-                          "opt_state": self.state.opt_state,
-                          "step": np.asarray(self.state.step)},
-                   force=True)
+        payload = {"params": self.state.params,
+                   "opt_state": self.state.opt_state,
+                   "step": np.asarray(self.state.step)}
+        if self.state.ema_params is not None:
+            # reference saves the EMA shadow in the ckpt dict
+            # (trainers_ldm_cond.py:1844-1877 'ema' entry)
+            payload["ema_params"] = self.state.ema_params
+        ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         self._rotate_checkpoints()
         return path
@@ -335,9 +381,13 @@ class TrainerAE:
         target = {"params": self.state.params,
                   "opt_state": self.state.opt_state,
                   "step": np.asarray(self.state.step)}
+        if self.state.ema_params is not None:
+            target["ema_params"] = self.state.ema_params
         restored = ckptr.restore(path, target)
         self.state = self.state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
-            step=jnp.asarray(restored["step"]))
+            step=jnp.asarray(restored["step"]),
+            ema_params=restored.get("ema_params",
+                                    self.state.ema_params))
         print(f"Resumed from {path} at step {int(self.state.step)}")
         return path

@@ -108,6 +108,11 @@ DEFAULT_CONFIG: dict = {
         "cost_mask": 1.0,
         "cost_class": 1.0,
         "temperature": 1.0,
+        # TPU-only knob: static cap on per-image masks in the dense
+        # BCE+Dice loss. Exact reference parity (every present class
+        # supervised) needs max_masks >= num_classes; the default matches
+        # the default 128 instance channels.
+        "max_masks": 128,
     },
     "sampling_kwargs": {
         "num_inference_steps": 50,

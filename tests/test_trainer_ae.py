@@ -63,6 +63,75 @@ def test_eval_miou_and_pq(tmp_path):
     assert set(pq) >= {"pq", "sq", "rq"}
 
 
+def test_inpainting_corruption_semantics(tmp_path):
+    """Reference trainers_ae.py:303-311 + losses.py:325-326: mask==1 is
+    the kept-and-supervised sparse region; mask==0 input is blanked and
+    CE-ignored; ignore-label pixels are never in the kept region."""
+    tr = _make_trainer(tmp_path, train_kwargs={"prob_inpainting": 0.9})
+    import jax.numpy as jnp
+    images = jax.random.normal(jax.random.key(1), (4, 64, 128, 10))
+    targets = np.random.default_rng(0).integers(0, 20, (4, 64, 128))
+    targets[:, :8] = 0  # ignore_label region
+    targets = jnp.asarray(targets)
+    out, m = tr._corrupt_inputs(jax.random.key(0), images, targets)
+    out, m, img = np.asarray(out), np.asarray(m), np.asarray(images)
+    assert 0.0 < m.mean() < 1.0  # corruption actually happened
+    np.testing.assert_allclose(out[m == 0], 0.0)
+    np.testing.assert_allclose(out[m == 1], img[m == 1])
+    assert m[np.asarray(targets) == 0].max() == 0
+
+    # and _forward_loss consumes the mask (finite loss, grads flow)
+    batch = {"image_semseg": jnp.asarray(
+        np.random.default_rng(1).random((4, 64, 128, 10), np.float32)),
+        "semseg": targets}
+    tr.init_state({"image_semseg": np.asarray(batch["image_semseg"])})
+    loss, parts = tr._forward_loss(tr.state.params, batch,
+                                   jax.random.key(2))
+    assert np.isfinite(float(loss))
+
+
+def test_fuse_rgb_train_step(tmp_path):
+    """fuse_rgb feeds the RGB frame to the VAE encoder
+    (trainers_ae.py:299-301, :325)."""
+    tr = _make_trainer(tmp_path, vae_model_kwargs={"fuse_rgb": True})
+    assert tr.fuse_rgb
+    tr.train_loop(max_steps=2, log_every=10, save_every=100)
+    assert int(tr.state.step) == 2
+    # the encoder's first conv must see 10 bits + 3 rgb channels
+    first_conv = tr.state.params["params"]["encoder"]["in_conv"]["kernel"]
+    assert first_conv.shape[2] == 13
+    # eval path also fuses rgb
+    scores = tr.compute_miou(max_batches=1)
+    assert 0 <= scores["mIoU"] <= 100
+
+
+def test_trainer_accumulate_steps(tmp_path):
+    tr = _make_trainer(tmp_path, train_kwargs={"accumulate": 2})
+    tr.train_loop(max_steps=4, log_every=10, save_every=100)
+    # 4 micro-batches -> 2 optimizer steps
+    assert int(tr.state.step) == 2
+    assert int(tr.state.micro_step) == 4
+
+
+def test_ema_eval_and_checkpoint(tmp_path):
+    tr = _make_trainer(tmp_path, ema_on=True)
+    tr.train_loop(max_steps=2, log_every=10, save_every=100)
+    assert tr.state.ema_params is not None
+    # ema must lag the live params after a couple of steps
+    w = np.asarray(jax.tree_util.tree_leaves(tr.state.params)[0])
+    e = np.asarray(jax.tree_util.tree_leaves(tr.state.ema_params)[0])
+    assert not np.allclose(w, e)
+    path = tr.save()
+
+    tr2 = _make_trainer(tmp_path, ema_on=True)
+    from ldmseg_tpu.data import Loader
+    batch = next(iter(Loader(tr2.ds, 8, shuffle=False)))
+    tr2.init_state(batch, seed=123)
+    tr2.resume(path)
+    e2 = np.asarray(jax.tree_util.tree_leaves(tr2.state.ema_params)[0])
+    np.testing.assert_allclose(e, e2)
+
+
 def test_save_resume_roundtrip(tmp_path):
     tr = _make_trainer(tmp_path)
     tr.train_loop(max_steps=2, log_every=10, save_every=100)
