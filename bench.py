@@ -73,21 +73,28 @@ def main():
         logits = vae_seg.apply(seg_params, z, True, method=SegVAE.decode)
         return logits
 
+    import numpy as np
+
     rgb = jax.random.normal(jax.random.key(1), (batch, h, w, 3),
                             dtype=dtype)
     # warmup/compile (params as ARGUMENTS — closing over them would bake
     # 815M weights into the HLO as constants and stall the compiler)
-    pipeline(unet_params, img_params, seg_params, rgb,
-             jax.random.key(2))[0].block_until_ready()
+    np.asarray(pipeline(unet_params, img_params, seg_params, rgb,
+                        jax.random.key(2)).ravel()[0])
 
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
         out = pipeline(unet_params, img_params, seg_params, rgb,
                        jax.random.key(3 + i))
-    out.block_until_ready()
+    # block_until_ready on small results lies over the axon relay
+    # (BENCH_NOTES.md); force a real device->host fetch instead.
+    np.asarray(out.ravel()[0])
     dt = (time.perf_counter() - t0) / iters
     fps = batch / dt
+
+    train_sps = _train_throughput(jax, jnp, unet, unet_params, batch, lh, lw,
+                                  dtype, sched)
 
     baseline = 8.0  # north-star frames/s/chip (BASELINE.json)
     print(json.dumps({
@@ -95,7 +102,59 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3),
+        "train_samples_per_sec_per_chip": round(train_sps, 3),
     }))
+
+
+def _train_throughput(jax, jnp, unet, unet_params, batch, lh, lw, dtype,
+                      sched):
+    """LDM train-step throughput (samples/s/chip): UNet fwd/bwd on the
+    noise-prediction MSE with gradient checkpointing + adafactor, batch 8.
+    Reproduces the BENCH_NOTES.md training number under driver control."""
+    import numpy as np
+    import optax
+    from ldmseg_tpu.models import UNet2DCondition, UNetConfig
+    from ldmseg_tpu.diffusion import add_noise
+
+    cfg_t = UNetConfig(in_channels=8, use_cross_attention=False,
+                       use_fused_attention=True,
+                       gradient_checkpointing=True)
+    unet_t = UNet2DCondition(config=cfg_t)
+    tx = optax.adafactor(1e-4)
+    opt_state = jax.jit(tx.init)(unet_params)
+
+    def loss_fn(params, noisy, t, noise):
+        pred = unet_t.apply(params, noisy, t).astype(jnp.float32)
+        return jnp.mean((pred - noise.astype(jnp.float32)) ** 2)
+
+    @jax.jit
+    def train_step(params, opt_state, latents, rgb_latents, key):
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (batch,), 0, 1000)
+        noise = jax.random.normal(kn, latents.shape, jnp.float32)
+        noisy = add_noise(sched, latents.astype(jnp.float32), noise, t)
+        inp = jnp.concatenate([noisy.astype(dtype), rgb_latents], axis=-1)
+        loss, grads = jax.value_and_grad(loss_fn)(params, inp, t, noise)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    latents = jax.random.normal(jax.random.key(7), (batch, lh, lw, 4),
+                                dtype=jnp.float32)
+    rgbl = jax.random.normal(jax.random.key(8), (batch, lh, lw, 4),
+                             dtype=dtype)
+    params = unet_params
+    params, opt_state, loss = train_step(params, opt_state, latents, rgbl,
+                                         jax.random.key(9))
+    np.asarray(loss)  # force compile + execute
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss = train_step(params, opt_state, latents,
+                                             rgbl, jax.random.key(10 + i))
+    np.asarray(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
 
 
 if __name__ == "__main__":

@@ -37,9 +37,18 @@ class CityscapesDVPS:
         encoding_mode: str = "bits",
         remap_labels: bool = True,
         min_pixels: int = 10,
+        flip: bool = False,
+        crop_mode: str | None = None,
+        keep_fullres_gt: bool = False,
         seed: int = 0,
     ):
         assert split in ("train", "val", "test")
+        # train-time augmentation (reference get_train_transforms)
+        self.flip = flip and split == "train"
+        self.crop_mode = crop_mode if split == "train" else None
+        # original-resolution GT in meta for per-image eval restore
+        # (reference compute_pq, trainers_ldm_cond.py:1264-1284)
+        self.keep_fullres_gt = keep_fullres_gt
         self.root = prefix
         self.split = split
         self.size = size
@@ -96,18 +105,34 @@ class CityscapesDVPS:
             np.random.SeedSequence([self.seed, epoch, idx]))
         h, w = self.size
 
-        image = normalize_imagenet(
-            resize_rgb(Image.open(paths["leftImg8bit"]), self.size))
-        pan_raw = resize_label(Image.open(paths["instanceTrainIds"]),
-                               self.size, dtype=np.int32)
-        depth = resize_depth(Image.open(paths["depth"]), self.size)
+        rgb_img = Image.open(paths["leftImg8bit"])
+        from .transforms import square_crop_box
+        box = square_crop_box(rgb_img.size, self.crop_mode, rng)
 
-        if self.remap_labels:
-            semseg, _ = remap_random(pan_raw, self.num_classes,
-                                     self.ignore_label, rng,
-                                     min_pixels=self.min_pixels)
+        image = normalize_imagenet(resize_rgb(rgb_img, self.size, box=box))
+        pan_raw = resize_label(Image.open(paths["instanceTrainIds"]),
+                               self.size, dtype=np.int32, box=box)
+        depth = resize_depth(Image.open(paths["depth"]), self.size, box=box)
+
+        def _remap(arr):
+            if self.remap_labels:
+                return remap_random(arr, self.num_classes,
+                                    self.ignore_label, rng,
+                                    min_pixels=self.min_pixels)[0]
+            return remap_contiguous(arr, self.ignore_label)[0]
+
+        sem_full = mask_full = None
+        if self.keep_fullres_gt:
+            pan_pil = Image.open(paths["instanceTrainIds"])
+            if box is not None:
+                pan_pil = pan_pil.crop(box)
+            pan_full_raw = np.asarray(pan_pil).astype(np.int32)
+            sem_full = _remap(pan_full_raw).astype(np.int32)
+            mask_full = (sem_full <= 128).astype(np.uint8)
+            semseg = resize_label(Image.fromarray(sem_full, mode="I"),
+                                  self.size)
         else:
-            semseg, _ = remap_contiguous(pan_raw, self.ignore_label)
+            semseg = _remap(pan_raw)
         assert semseg.max() < self.num_classes
 
         mask = np.ones((h, w), dtype=np.uint8)
@@ -144,6 +169,13 @@ class CityscapesDVPS:
             "image_id": image_id,
             "gt_cat": pan_raw.astype(np.int32),
         }
+        if self.keep_fullres_gt:
+            sample["meta"]["gt_sem"] = sem_full
+            sample["meta"]["gt_mask"] = mask_full
+            sample["meta"]["im_size"] = sem_full.shape
+        if self.flip and rng.random() < 0.5:
+            from .transforms import hflip_sample
+            sample = hflip_sample(sample)
         return sample
 
     def __str__(self):

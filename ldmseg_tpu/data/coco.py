@@ -50,8 +50,13 @@ class CocoPanoptic:
         inpainting_strength: float = 0.0,
         panoptic_json: Optional[str] = None,
         captions_json: Optional[str] = None,
+        flip: bool = False,
+        crop_mode: Optional[str] = None,
         seed: int = 0,
     ):
+        # train-time augmentation (reference get_train_transforms)
+        self.flip = flip and split == "train"
+        self.crop_mode = crop_mode if split == "train" else None
         self.root = prefix
         self.split = split
         self.size = size
@@ -115,8 +120,11 @@ class CocoPanoptic:
         for new_id, (seg, m) in enumerate(kept, start=1):
             id_map[m] = new_id
 
+        from .transforms import square_crop_box
+        box = square_crop_box((pan_ids.shape[1], pan_ids.shape[0]),
+                              self.crop_mode, rng)
         id_map = resize_label(Image.fromarray(id_map.astype(np.int32),
-                                              mode="I"), self.size)
+                                              mode="I"), self.size, box=box)
 
         if self.remap_labels:
             semseg, _ = remap_random(id_map, self.num_classes,
@@ -127,7 +135,7 @@ class CocoPanoptic:
         img_name = ann["file_name"].replace(".png", ".jpg")
         img_path = os.path.join(self.image_dir, img_name)
         image = normalize_imagenet(resize_rgb(Image.open(img_path),
-                                              self.size))
+                                              self.size, box=box))
 
         bits = encode_bits_host(semseg, self.num_bits,
                                  ignore_label=self.ignore_label,
@@ -138,7 +146,7 @@ class CocoPanoptic:
         if caps and rng.random() >= self.caption_dropout:
             text = caps[int(rng.integers(len(caps)))]
 
-        return {
+        sample = {
             "image": image,
             "semseg": semseg.astype(np.int32),
             "mask": (semseg != self.ignore_label).astype(np.uint8),
@@ -153,6 +161,10 @@ class CocoPanoptic:
                 "gt_cat": id_map.astype(np.int32),
             },
         }
+        if self.flip and rng.random() < 0.5:
+            from .transforms import hflip_sample
+            sample = hflip_sample(sample)
+        return sample
 
     def __str__(self):
         return f"CocoPanoptic(split={self.split}, n={len(self)})"

@@ -67,10 +67,21 @@ class KittiDVPS:
         encoding_mode: str = "bits",
         remap_mode: str = "per_sample",  # 'per_sample' | 'per_scene'
         with_color_target: bool = False,
+        flip: bool = False,
+        crop_mode: Optional[str] = None,  # None | 'centre' | 'random'
+        keep_fullres_gt: bool = False,
         seed: int = 0,
     ):
+        # keep_fullres_gt: carry original-resolution remapped GT in meta
+        # so eval can restore each prediction to its own im_size
+        # (reference compute_pq, trainers_ldm_cond.py:1264-1284)
+        self.keep_fullres_gt = keep_fullres_gt
         assert split in ("train", "val", "test")
         assert encoding_mode in ("bits", "none")
+        # train-time augmentation (reference get_train_transforms:
+        # RandomHorizontalFlip p=0.5 + CropResize, dataset_base.py:17-33)
+        self.flip = flip and split == "train"
+        self.crop_mode = crop_mode if split == "train" else None
         self.root = prefix
         self.split = split
         self.size = size
@@ -145,12 +156,18 @@ class KittiDVPS:
         rng = self._rng(idx, epoch)
         h, w = self.size
 
-        image = resize_rgb(Image.open(paths["leftImg8bit"]), self.size)
+        rgb_img = Image.open(paths["leftImg8bit"])
+        from .transforms import square_crop_box
+        box = square_crop_box(rgb_img.size, self.crop_mode, rng)
+
+        image = resize_rgb(rgb_img, self.size, box=box)
         image = normalize_imagenet(image)
 
-        sem_raw = resize_label(Image.open(paths["class"]), self.size)
-        inst_raw = resize_label(Image.open(paths["instance"]), self.size)
-        depth = resize_depth(Image.open(paths["depth"]), self.size)
+        sem_raw = resize_label(Image.open(paths["class"]), self.size,
+                               box=box)
+        inst_raw = resize_label(Image.open(paths["instance"]), self.size,
+                                box=box)
+        depth = resize_depth(Image.open(paths["depth"]), self.size, box=box)
 
         scene, frame = self.scene_frame(idx)
 
@@ -159,22 +176,45 @@ class KittiDVPS:
         mask[(sem_raw == 0) | (sem_raw == 255)] = 0
 
         # id remap into [0, num_classes)
-        if self.remap_mode == "per_scene":
-            table = self._scene_tables.setdefault(("sem", scene), {})
-            semseg = remap_per_scene(sem_raw, table, self.num_classes,
-                                     self.ignore_label)
-        else:
-            semseg, _ = remap_contiguous(sem_raw, self.ignore_label)
-        assert semseg.max() < self.num_classes
+        def _remap_sem(arr):
+            if self.remap_mode == "per_scene":
+                table = self._scene_tables.setdefault(("sem", scene), {})
+                return remap_per_scene(arr, table, self.num_classes,
+                                       self.ignore_label)
+            return remap_contiguous(arr, self.ignore_label)[0]
 
         # instance compaction to 0..K (kitti.py:419-424)
-        nbi = self.num_bits_instance
-        if self.remap_mode == "per_scene":
-            table = self._scene_tables.setdefault(("ins", scene), {})
-            instance = remap_per_scene(inst_raw, table, 2**nbi, 0)
+        def _remap_ins(arr):
+            nbi = self.num_bits_instance
+            if self.remap_mode == "per_scene":
+                table = self._scene_tables.setdefault(("ins", scene), {})
+                out = remap_per_scene(arr, table, 2**nbi, 0)
+            else:
+                out = remap_contiguous(arr, 0)[0]
+            return np.minimum(out, 2**nbi - 2)
+
+        sem_full = inst_full = mask_full = None
+        if self.keep_fullres_gt:
+            # remap at ORIGINAL resolution, then derive the model-res maps
+            # by nearest downsample so pred/GT share one id table
+            sem_pil = Image.open(paths["class"])
+            inst_pil = Image.open(paths["instance"])
+            if box is not None:
+                sem_pil, inst_pil = sem_pil.crop(box), inst_pil.crop(box)
+            sem_full_raw = np.asarray(sem_pil).astype(np.int32)
+            inst_full_raw = np.asarray(inst_pil).astype(np.int32)
+            sem_full = _remap_sem(sem_full_raw).astype(np.int32)
+            inst_full = _remap_ins(inst_full_raw).astype(np.int32)
+            mask_full = np.ones(sem_full.shape, dtype=np.uint8)
+            mask_full[(sem_full_raw == 0) | (sem_full_raw == 255)] = 0
+            semseg = resize_label(
+                Image.fromarray(sem_full, mode="I"), self.size)
+            instance = resize_label(
+                Image.fromarray(inst_full, mode="I"), self.size)
         else:
-            instance, _ = remap_contiguous(inst_raw, 0)
-        instance = np.minimum(instance, 2**nbi - 2)
+            semseg = _remap_sem(sem_raw)
+            instance = _remap_ins(inst_raw)
+        assert semseg.max() < self.num_classes
 
         sample = {
             "image": image,
@@ -222,6 +262,14 @@ class KittiDVPS:
             "gt_cat": sem_raw.astype(np.int32),
             "gt_ins": inst_raw.astype(np.int32),
         }
+        if self.keep_fullres_gt:
+            sample["meta"]["gt_sem"] = sem_full
+            sample["meta"]["gt_inst"] = inst_full
+            sample["meta"]["gt_mask"] = mask_full
+            sample["meta"]["im_size"] = sem_full.shape
+        if self.flip and rng.random() < 0.5:
+            from .transforms import hflip_sample
+            sample = hflip_sample(sample)
         return sample
 
     def __str__(self):

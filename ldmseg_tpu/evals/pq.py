@@ -139,7 +139,40 @@ class PanopticEvaluator:
             if pj not in matched_pred:
                 self._cls(cat_of(pid))["fp"] += 1
 
-    def evaluate(self) -> dict:
+    def synchronize_between_processes(self):
+        """Sum counters across JAX processes so multihost PQ scores the
+        full val set, not one shard (reference gathers per-rank prediction
+        records before scoring, panoptic_evaluation.py:97-100; SemsegMeter
+        all_reduce, semseg_evaluation.py:59-70). Counter sums are exact
+        here because matching is per-image."""
+        import jax
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        cap = 4096  # static row budget for the variable per-class table
+        cats = sorted(self.per_class)
+        rows = np.zeros((cap, 5), np.float64)
+        for i, c in enumerate(cats[:cap]):
+            s = self.per_class[c]
+            rows[i] = [c, s["tp"], s["fp"], s["fn"], s["iou"]]
+        head = np.array([self.TP, self.FP, self.FN, self.iou_sum,
+                         len(cats)], np.float64)
+        packed = np.concatenate([head[None], rows], axis=0)
+        gathered = np.asarray(multihost_utils.process_allgather(packed))
+        self.reset()
+        for p in range(gathered.shape[0]):
+            h = gathered[p, 0]
+            self.TP += int(h[0]); self.FP += int(h[1])  # noqa: E702
+            self.FN += int(h[2]); self.iou_sum += float(h[3])  # noqa: E702
+            for r in gathered[p, 1:1 + int(h[4])]:
+                s = self._cls(int(r[0]))
+                s["tp"] += int(r[1]); s["fp"] += int(r[2])  # noqa: E702
+                s["fn"] += int(r[3]); s["iou"] += float(r[4])  # noqa: E702
+
+    def evaluate(self, synchronize: bool = True) -> dict:
+        if synchronize:
+            self.synchronize_between_processes()
         if self.TP == 0:
             sq = rq = pq = 0.0
         else:

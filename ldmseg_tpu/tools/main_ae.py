@@ -46,7 +46,11 @@ def build_datasets(cfg: dict, prefix: str | None):
         val = get_dataset("synthetic", length=16, num_classes=20, **kwargs)
     else:
         kwargs["num_classes"] = cfg["num_classes"]
-        train = get_dataset(name, prefix=prefix, split="train", **kwargs)
+        # train-time augmentation (reference get_train_transforms:
+        # hflip p=0.5 when transformation_kwargs.flip)
+        train = get_dataset(name, prefix=prefix, split="train",
+                            flip=cfg["transformation_kwargs"].get(
+                                "flip", True), **kwargs)
         val = get_dataset(cfg["val_db_name"], prefix=prefix, split="val",
                           **kwargs)
     return train, val

@@ -43,7 +43,7 @@ from .state import TrainState
 class TrainerDiffusion:
     def __init__(self, p: dict, unet_config: Optional[UNetConfig] = None,
                  dataset=None, val_dataset=None, mesh=None,
-                 results_folder: Optional[str] = None):
+                 results_folder: Optional[str] = None, descriptor=None):
         self.p = p
         tk = p["train_kwargs"]
         vk = dict(p["vae_model_kwargs"])
@@ -64,11 +64,22 @@ class TrainerDiffusion:
             # self_condition (train_diffusion.sh); auto-correct here
             cond_channels = 4
         in_ch = mk.get("in_channels", 8) + cond_channels
+
+        # conditioning descriptor (reference get_image_descriptor_model,
+        # descriptors.py:67-105; wired through process_inputs :722-735)
+        from ..models.descriptors import get_image_descriptors
+        if descriptor is None:
+            descriptor = get_image_descriptors(
+                tk.get("image_descriptors", "remove"),
+                pretrained_path=p.get("descriptor_pretrained_path"))
+        self.descriptor = descriptor
+
         if unet_config is None:
             unet_config = UNetConfig(
                 in_channels=in_ch,
-                use_cross_attention=(
-                    tk.get("image_descriptors", "remove") != "remove"),
+                use_cross_attention=descriptor.use_cross_attention,
+                num_object_queries=descriptor.num_object_queries,
+                encoder_hid_dim=descriptor.encoder_hid_dim,
                 cond_channels=cond_channels,
                 separate_conv=mk.get("separate_conv", False),
                 separate_encoder=mk.get("separate_encoder", False),
@@ -103,6 +114,9 @@ class TrainerDiffusion:
         self.overlap_th = ek.get("overlap_th", 0.5)
         sk = p["sampling_kwargs"]
         self.num_inference_steps = sk.get("num_inference_steps", 50)
+        # CFG (reference sample :1147-1149 + guidance_scale base.yaml:118);
+        # inactive unless the descriptor produces a context
+        self.guidance_scale = float(sk.get("guidance_scale", 1.0))
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self.ds = dataset
@@ -145,9 +159,11 @@ class TrainerDiffusion:
         self._encode = jax.jit(self._encode_impl)
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0,))
+        self._context = jax.jit(self._context_impl)
         self._sample_decode = jax.jit(
             self._sample_decode_impl,
-            static_argnames=("num_inference_steps", "repeat_noise"))
+            static_argnames=("num_inference_steps", "repeat_noise",
+                             "guidance_scale"))
 
     # ------------------------------------------------------------------
     # init
@@ -182,12 +198,16 @@ class TrainerDiffusion:
                     (1, 77, self.unet_config.cross_attention_dim)))
             unet_params = jax.jit(self.unet.init)({"params": k3},
                                                   *init_args)
-        self.frozen_params = replicate(self.mesh, {
-            "vae_img": vae_img_params, "vae_seg": vae_seg_params})
+        frozen = {"vae_img": vae_img_params, "vae_seg": vae_seg_params}
+        if self.descriptor.model is not None:
+            # frozen CLIP text/vision tower (reference descriptors.py:70-93)
+            frozen["descriptor"] = self.descriptor.model.params
+        self.frozen_params = replicate(self.mesh, frozen)
         self.state = TrainState.create(
             replicate(self.mesh, unet_params), self.tx,
             ema=self.p.get("ema_on", False), mesh=self.mesh,
-            zero1=self.p.get("optimizer_zero_redundancy", False))
+            zero1=self.p.get("optimizer_zero_redundancy", False),
+            accumulate=self.p["train_kwargs"].get("accumulate", 1))
         return self.state
 
     # ------------------------------------------------------------------
@@ -248,6 +268,79 @@ class TrainerDiffusion:
         return jnp.where(ti == self.ignore_label, 0.0, m)
 
     # ------------------------------------------------------------------
+    # conditioning (process_inputs :722-735)
+    # ------------------------------------------------------------------
+    def tokenize(self, texts) -> Optional[np.ndarray]:
+        """Host-side caption tokenization -> ``[B, 77]`` int32 ids."""
+        tok = self.descriptor.tokenizer
+        if tok is None:
+            return None
+        enc = tok(list(texts), padding="max_length", max_length=77,
+                  truncation=True, return_tensors="np")
+        return enc["input_ids"].astype(np.int32)
+
+    def _context_impl(self, frozen, batch):
+        """encoder_hidden_states from the descriptor (jit-traceable).
+
+        'remove'/'learnable' -> None (queries live inside the UNet);
+        'none' -> caller-supplied ``batch['context']``; 'clip_text' ->
+        frozen CLIP text tower over ``batch['text_tokens']``; 'clip_vision'
+        -> frozen CLIP vision tower over the RGB frame.
+        """
+        spec = self.descriptor
+        if spec.kind in ("remove", "learnable"):
+            return None
+        if spec.kind == "none":
+            return batch.get("context")
+        if spec.kind == "clip_text":
+            ids = batch.get("text_tokens")
+            if ids is None:
+                return None
+            out = spec.model(input_ids=ids, params=frozen["descriptor"])
+            return out[0].astype(jnp.float32)  # last_hidden_state [B,77,D]
+        if spec.kind == "clip_vision":
+            # CLIP preprocessing: [0,1] image -> CLIP stats, 224x224 NCHW
+            img01 = _unnormalize_to01(batch["image"].astype(jnp.float32))
+            mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
+            std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+            b = img01.shape[0]
+            pix = jax.image.resize(img01, (b, 224, 224, 3), "linear")
+            pix = ((pix - mean) / std).transpose(0, 3, 1, 2)
+            out = spec.model(pixel_values=pix, params=frozen["descriptor"])
+            return out[0].astype(jnp.float32)
+        return None
+
+    def _uncond_context(self, context, frozen):
+        """Context for the CFG unconditional branch: empty-caption
+        embedding when a tokenizer exists, zeros otherwise."""
+        if context is None:
+            return None
+        if self.descriptor.kind == "clip_text" and \
+                self.descriptor.tokenizer is not None:
+            ids = jnp.asarray(self.tokenize([""] * context.shape[0]))
+            out = self.descriptor.model(
+                input_ids=ids, params=jax.device_get(frozen["descriptor"]))
+            return jnp.asarray(out[0], jnp.float32)
+        return jnp.zeros_like(context)
+
+    def _device_batch(self, batch) -> dict:
+        """Select + tokenize the per-step device batch."""
+        keys = ("image", "image_semseg", "semseg", "mask",
+                "inpainting_mask")
+        db = {k: batch[k] for k in keys if k in batch}
+        spec = self.descriptor
+        if spec.kind == "clip_text":
+            toks = batch.get("text_tokens")
+            if toks is None and spec.tokenizer is not None:
+                n = len(batch["image"])
+                toks = self.tokenize(batch.get("text", [""] * n))
+            if toks is not None:
+                db["text_tokens"] = toks
+        elif spec.kind == "none" and "context" in batch:
+            db["context"] = batch["context"]
+        return db
+
+    # ------------------------------------------------------------------
     # training (train_single_epoch + compute_loss)
     # ------------------------------------------------------------------
     def _unet_apply(self, params, latents, rgb_latents, condition, t,
@@ -260,16 +353,17 @@ class TrainerDiffusion:
 
     def _train_step_impl(self, state: TrainState, frozen, batch,
                          key: jax.Array):
-        keys = jax.random.split(key, 8)
+        keys = jax.random.split(key, 10)
         latents, latents_mean, rgb_latents, loss_mask = self._encode_impl(
             frozen, batch, keys[0])
         b = latents.shape[0]
+        context = self._context_impl(frozen, batch)
 
         # (optional) train on own predictions (:738-744)
         if self.prob_train_on_pred > 0:
             pred_latents = self._predict_sample(
                 state.params, latents, rgb_latents, keys[1],
-                tmax=self.sched.num_train_timesteps // 2)
+                tmax=self.sched.num_train_timesteps // 2, context=context)
             take = jax.random.uniform(keys[2], (b, 1, 1, 1)) < \
                 self.prob_train_on_pred
             latents = jnp.where(take, pred_latents, latents)
@@ -295,9 +389,17 @@ class TrainerDiffusion:
         if self.self_condition:
             cond0 = jnp.zeros_like(noisy)
             pred0 = self._unet_apply(jax.lax.stop_gradient(state.params),
-                                     noisy, rgb_latents, cond0, timesteps)
+                                     noisy, rgb_latents, cond0, timesteps,
+                                     context)
             condition = jax.lax.stop_gradient(
                 remove_noise(self.sched, noisy, pred0, timesteps))
+            if self.cond_noise_level > 0:
+                # noise the self-conditioning channel (reference
+                # trainers_ldm_cond.py:579-585)
+                cn = jax.random.normal(keys[8], condition.shape)
+                tc = jax.random.randint(keys[9], (b,), 0,
+                                        self.cond_noise_level)
+                condition = add_noise(self.sched, condition, cn, tc)
 
         def loss_fn(params):
             rgb_in = rgb_latents
@@ -308,7 +410,7 @@ class TrainerDiffusion:
                                            self.rgb_noise_level)
                 rgb_in = add_noise(self.sched, rgb_in, rn, t_img)
             pred = self._unet_apply(params, noisy, rgb_in, condition,
-                                    timesteps)
+                                    timesteps, context)
             if self.sched.prediction_type == "epsilon":
                 target = noise
             else:
@@ -334,7 +436,8 @@ class TrainerDiffusion:
                    jnp.mean(timesteps.astype(jnp.float32))}
         return new_state, metrics, pred_x0
 
-    def _predict_sample(self, params, latents, rgb_latents, key, tmax):
+    def _predict_sample(self, params, latents, rgb_latents, key, tmax,
+                        context=None):
         """predict_sample (:446-495): one denoise at random t, no grad."""
         k1, k2 = jax.random.split(key)
         noise = jax.random.normal(k1, latents.shape)
@@ -342,7 +445,7 @@ class TrainerDiffusion:
         noisy = add_noise(self.sched, latents, noise, t)
         cond = jnp.zeros_like(noisy) if self.self_condition else None
         pred = self._unet_apply(jax.lax.stop_gradient(params), noisy,
-                                rgb_latents, cond, t)
+                                rgb_latents, cond, t, context)
         out = remove_noise(self.sched, noisy, pred, t)
         out = jnp.clip(out, latents.min(), latents.max())
         return jax.lax.stop_gradient(out)
@@ -381,10 +484,7 @@ class TrainerDiffusion:
             for batch in loader.epoch(epoch):
                 if self.state is None:
                     self.init_state(batch, seed)
-                db = shard_batch(self.mesh, {
-                    k: batch[k] for k in
-                    ("image", "image_semseg", "semseg", "mask",
-                     "inpainting_mask") if k in batch})
+                db = shard_batch(self.mesh, self._device_batch(batch))
                 key, sub = jax.random.split(key)
                 self.state, metrics, pred_x0 = self._train_step(
                     self.state, self.frozen_params, db, sub)
@@ -409,8 +509,10 @@ class TrainerDiffusion:
     # sampling + eval (sample :1049 / compute_pq :1185)
     # ------------------------------------------------------------------
     def _sample_decode_impl(self, unet_params, frozen, rgb_latents, key,
+                            context=None, uncond_context=None,
                             num_inference_steps: int = 50,
-                            repeat_noise: bool = False):
+                            repeat_noise: bool = False,
+                            guidance_scale: float = 1.0):
         b, lh, lw, _ = rgb_latents.shape
         init = jax.random.normal(key, (b, lh, lw, 4))
         if repeat_noise:
@@ -419,7 +521,17 @@ class TrainerDiffusion:
 
         def model_fn(latents, condition, t):
             return self._unet_apply(unet_params, latents, rgb_latents,
-                                    condition, t)
+                                    condition, t, context)
+
+        if uncond_context is not None and guidance_scale != 1.0:
+            # classifier-free guidance (reference :1147-1149)
+            from ..diffusion.sampler import cfg_model_fn
+
+            def uncond_fn(latents, condition, t):
+                return self._unet_apply(unet_params, latents, rgb_latents,
+                                        condition, t, uncond_context)
+
+            model_fn = cfg_model_fn(model_fn, uncond_fn, guidance_scale)
 
         x0 = ddim_sample(self.sched, model_fn, init,
                          num_inference_steps=num_inference_steps,
@@ -432,18 +544,32 @@ class TrainerDiffusion:
 
     def sample_panoptic(self, batch: dict, key: jax.Array,
                         num_inference_steps: Optional[int] = None,
-                        repeat_noise: bool = False):
-        """RGB batch -> sampled segmentation logits (full pipeline)."""
+                        repeat_noise: bool = False,
+                        guidance_scale: Optional[float] = None):
+        """RGB batch -> sampled segmentation logits (full pipeline).
+
+        Samples with the EMA shadow params when ``ema_on`` (reference
+        evaluates EMAModelCPU weights, unet.py:443-459) and applies CFG
+        when the descriptor produces a context and ``guidance_scale != 1``.
+        """
         _, _, rgb_latents, _ = self._encode(self.frozen_params, {
             "image": jnp.asarray(batch["image"]),
             "image_semseg": jnp.asarray(batch["image_semseg"]),
             "semseg": jnp.asarray(batch["semseg"]),
             "mask": jnp.asarray(batch["mask"]),
         }, key)
+        db = self._device_batch(batch)
+        context = self._context(self.frozen_params, db)
+        gs = self.guidance_scale if guidance_scale is None else \
+            float(guidance_scale)
+        uncond = self._uncond_context(context, self.frozen_params) \
+            if gs != 1.0 else None
         logits, x0 = self._sample_decode(
-            self.state.params, self.frozen_params, rgb_latents, key,
+            self.state.eval_params(), self.frozen_params, rgb_latents, key,
+            context, uncond,
             num_inference_steps=num_inference_steps or
-            self.num_inference_steps, repeat_noise=repeat_noise)
+            self.num_inference_steps, repeat_noise=repeat_noise,
+            guidance_scale=gs)
         return logits, x0
 
     def compute_metrics(self, metrics=("pq",), **kw) -> dict:
@@ -498,9 +624,13 @@ class TrainerDiffusion:
         name = tag or f"step_{step or int(self.state.step)}"
         path = os.path.join(os.path.abspath(self.results_folder), name)
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"params": self.state.params,
-                          "opt_state": self.state.opt_state,
-                          "step": np.asarray(self.state.step)}, force=True)
+        payload = {"params": self.state.params,
+                   "opt_state": self.state.opt_state,
+                   "step": np.asarray(self.state.step),
+                   "best_pq": np.asarray(self.best_pq, np.float32)}
+        if self.state.ema_params is not None:
+            payload["ema_params"] = self.state.ema_params
+        ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         self._rotate_checkpoints()
         return path
@@ -530,11 +660,17 @@ class TrainerDiffusion:
         ckptr = ocp.StandardCheckpointer()
         target = {"params": self.state.params,
                   "opt_state": self.state.opt_state,
-                  "step": np.asarray(self.state.step)}
+                  "step": np.asarray(self.state.step),
+                  "best_pq": np.asarray(self.best_pq, np.float32)}
+        if self.state.ema_params is not None:
+            target["ema_params"] = self.state.ema_params
         restored = ckptr.restore(path, target)
         self.state = self.state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
-            step=jnp.asarray(restored["step"]))
+            step=jnp.asarray(restored["step"]),
+            ema_params=restored.get("ema_params",
+                                    self.state.ema_params))
+        self.best_pq = float(restored["best_pq"])
         print(f"Resumed from {path} at step {int(self.state.step)}")
         return path
 

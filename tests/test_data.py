@@ -180,3 +180,69 @@ def test_mask_generator_modes():
                          mode="random_global")
     m = g(rng=np.random.default_rng(1))
     assert 128 <= m.sum() <= 300  # block process reaches ~target count
+
+
+def test_train_augmentation_flip_and_crop(tmp_path):
+    """Train-time augmentation (reference get_train_transforms: hflip
+    p=0.5 + CropResize, dataset_base.py:17-33, pil_transforms.py:43,:99):
+    flips vary per epoch, all modalities flip together, labels stay
+    nearest-interpolated, and crop modes produce square-source crops."""
+    _write_kitti_tree(tmp_path, n_scenes=1, n_frames=8)
+    ds = KittiDVPS(prefix=str(tmp_path), split="train", size=(64, 128),
+                   flip=True, seed=3)
+    base = KittiDVPS(prefix=str(tmp_path), split="train", size=(64, 128),
+                     flip=False, seed=3)
+
+    flipped = 0
+    for idx in range(8):
+        s = ds.__getitem__(idx, epoch=0)
+        b = base.__getitem__(idx, epoch=0)
+        if np.array_equal(s["semseg"], b["semseg"][:, ::-1]):
+            flipped += 1
+            # every modality flips together
+            np.testing.assert_array_equal(s["image"], b["image"][:, ::-1])
+            np.testing.assert_array_equal(s["mask"], b["mask"][:, ::-1])
+            np.testing.assert_array_equal(
+                s["image_semseg"], b["image_semseg"][:, ::-1])
+            np.testing.assert_array_equal(
+                s["meta"]["gt_cat"], b["meta"]["gt_cat"][:, ::-1])
+        else:
+            np.testing.assert_array_equal(s["semseg"], b["semseg"])
+    assert 0 < flipped < 8  # p=0.5, both outcomes occur
+
+    # augmentation varies per epoch: some sample flips differently
+    diff = 0
+    for idx in range(8):
+        a = ds.__getitem__(idx, epoch=0)
+        c = ds.__getitem__(idx, epoch=1)
+        if not np.array_equal(a["semseg"], c["semseg"]):
+            diff += 1
+    assert diff > 0
+
+    # labels remain integer ids (nearest interp) under augmentation
+    s = ds.__getitem__(0, epoch=0)
+    assert s["semseg"].dtype == np.int32
+    assert set(np.unique(s["semseg"])) <= set(range(30))
+
+    # crop modes: random crop varies across epochs; centre is stable;
+    # val split never crops/flips
+    dsc = KittiDVPS(prefix=str(tmp_path), split="train", size=(64, 64),
+                    crop_mode="random", seed=3)
+    a = dsc.__getitem__(0, epoch=0)["image"]
+    bvals = [dsc.__getitem__(0, epoch=e)["image"] for e in range(1, 6)]
+    assert any(not np.array_equal(a, b) for b in bvals)
+    dscc = KittiDVPS(prefix=str(tmp_path), split="train", size=(64, 64),
+                     crop_mode="centre", seed=3)
+    np.testing.assert_array_equal(dscc.__getitem__(0, epoch=0)["image"],
+                                  dscc.__getitem__(0, epoch=1)["image"])
+
+
+def test_val_split_never_augments(tmp_path):
+    _write_kitti_tree(tmp_path)
+    os.rename(os.path.join(tmp_path, "train"), os.path.join(tmp_path, "val"))
+    ds = KittiDVPS(prefix=str(tmp_path), split="val", size=(64, 128),
+                   flip=True, crop_mode="random", seed=0)
+    assert not ds.flip and ds.crop_mode is None
+    a = ds.__getitem__(0, epoch=0)
+    b = ds.__getitem__(0, epoch=5)
+    np.testing.assert_array_equal(a["image"], b["image"])
