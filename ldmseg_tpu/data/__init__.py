@@ -3,7 +3,7 @@ from .synthetic import SyntheticDVPS
 from .kitti import KittiDVPS
 from .cityscapes import CityscapesDVPS
 from .collate import collate
-from .loader import Loader
+from .loader import Loader, make_loader
 from .mask_generator import MaskingGenerator
 
 __all__ = [

@@ -110,3 +110,15 @@ class Loader:
 
     def __iter__(self):
         return self.epoch(0)
+
+
+def make_loader(dataset, batch_size: int, **kwargs) -> Loader:
+    """Loader with per-process input sharding injected — the
+    DistributedSampler equivalent for multihost SPMD (reference
+    trainers_ldm_cond.py:246-247): each JAX process iterates a disjoint
+    shard of every epoch, so ``batch_size`` is per-process. Single-process
+    setups degrade to a plain Loader."""
+    import jax
+    kwargs.setdefault("shard_id", jax.process_index())
+    kwargs.setdefault("num_shards", jax.process_count())
+    return Loader(dataset, batch_size, **kwargs)

@@ -202,8 +202,8 @@ class TrainerAE:
                    save_every: int = 1000, max_steps: Optional[int] = None,
                    vis_every: Optional[int] = None):
         assert self.ds is not None, "no training dataset"
-        from ..data import Loader
-        loader = Loader(self.ds, self.batch_size, seed=seed)
+        from ..data import make_loader
+        loader = make_loader(self.ds, self.batch_size, seed=seed)
         max_steps = max_steps or self.train_num_steps
         meters = {k: AverageMeter(k, ":.4f")
                   for k in ("loss", "ce", "mask", "kl")}
@@ -287,12 +287,12 @@ class TrainerAE:
     def compute_miou(self, max_batches: Optional[int] = None,
                      batch_size: Optional[int] = None) -> dict:
         """mIoU of reconstruction on the val set (trainers_ae.py:947)."""
-        from ..data import Loader
+        from ..data import make_loader
         from ..evals import SemsegMeter
         assert self.ds_val is not None
         meter = SemsegMeter(self.num_classes,
                             ignore_index=self.ignore_label)
-        loader = Loader(self.ds_val, batch_size or self.batch_size,
+        loader = make_loader(self.ds_val, batch_size or self.batch_size,
                         shuffle=False, drop_last=False)
         for i, batch in enumerate(loader.epoch(0)):
             logits = self._eval_logits(batch)
@@ -311,13 +311,13 @@ class TrainerAE:
                    max_batches: Optional[int] = None) -> dict:
         """Class-agnostic panoptic quality of reconstructions
         (trainers_ae.py:624-727)."""
-        from ..data import Loader
+        from ..data import make_loader
         from ..evals import PanopticEvaluator
         from ..ops import panoptic_post_process
         assert self.ds_val is not None
         ev = PanopticEvaluator(thing_ids=set(), class_agnostic=True,
                                ignore_label=self.ignore_label)
-        loader = Loader(self.ds_val, self.batch_size, shuffle=False,
+        loader = make_loader(self.ds_val, self.batch_size, shuffle=False,
                         drop_last=False)
         for i, batch in enumerate(loader.epoch(0)):
             logits = self._eval_logits(batch)

@@ -472,8 +472,8 @@ class TrainerDiffusion:
                    max_steps: Optional[int] = None,
                    vis_every: Optional[int] = None):
         assert self.ds is not None
-        from ..data import Loader
-        loader = Loader(self.ds, self.batch_size, seed=seed)
+        from ..data import make_loader
+        loader = make_loader(self.ds, self.batch_size, seed=seed)
         max_steps = max_steps or self.train_num_steps
         meter = AverageMeter("loss", ":.4f")
         key = jax.random.key(seed)
@@ -584,30 +584,39 @@ class TrainerDiffusion:
                    thing_ids=frozenset(), save_model: bool = False,
                    seed: int = 0) -> dict:
         """Sampled-segmentation PQ on the val set (:1185-1375)."""
-        from ..data import Loader
+        from ..data import make_loader
         from ..evals import PanopticEvaluator
         from ..ops import panoptic_post_process
         assert self.ds_val is not None
         ev = PanopticEvaluator(thing_ids=set(thing_ids),
                                class_agnostic=not thing_ids,
                                ignore_label=self.ignore_label)
-        loader = Loader(self.ds_val, self.batch_size, shuffle=False,
+        loader = make_loader(self.ds_val, self.batch_size, shuffle=False,
                         drop_last=False)
         key = jax.random.key(seed)
         for i, batch in enumerate(loader.epoch(0)):
             key, sub = jax.random.split(key)
             logits, _ = self.sample_panoptic(
                 batch, sub, num_inference_steps=num_inference_steps)
-            h, w = batch["semseg"].shape[1:3]
-            logits = jax.image.resize(
-                logits, (logits.shape[0], h, w, logits.shape[-1]), "linear")
-            cleaned, _ = panoptic_post_process(
-                logits, mask_th=self.mask_th, count_th=self.count_th,
-                overlap_th=self.overlap_th, ignore_label=self.ignore_label,
-                valid_mask=jnp.asarray(batch["mask"]))
-            cleaned = np.asarray(cleaned)
-            for bi in range(cleaned.shape[0]):
-                ev.add_image(cleaned[bi], batch["semseg"][bi])
+            metas = batch.get("meta")
+            if metas and all("gt_sem" in m for m in metas):
+                # per-image original-size restore (reference upsamples,
+                # crops padding and resizes each prediction to its own
+                # meta['im_size'], trainers_ldm_cond.py:1264-1284)
+                self._eval_fullres(ev, logits, metas)
+            else:
+                h, w = batch["semseg"].shape[1:3]
+                logits = jax.image.resize(
+                    logits, (logits.shape[0], h, w, logits.shape[-1]),
+                    "linear")
+                cleaned, _ = panoptic_post_process(
+                    logits, mask_th=self.mask_th, count_th=self.count_th,
+                    overlap_th=self.overlap_th,
+                    ignore_label=self.ignore_label,
+                    valid_mask=jnp.asarray(batch["mask"]))
+                cleaned = np.asarray(cleaned)
+                for bi in range(cleaned.shape[0]):
+                    ev.add_image(cleaned[bi], batch["semseg"][bi])
             if max_batches is not None and i + 1 >= max_batches:
                 break
         results = ev.evaluate()
@@ -615,6 +624,34 @@ class TrainerDiffusion:
             self.best_pq = results["pq"]
             self.save(step=None, tag="best_model")
         return results
+
+    def _eval_fullres(self, ev, logits, metas):
+        """Restore each prediction to its own original resolution and
+        score it against the full-res remapped GT (+ optional padding
+        crop via meta['padding'] = (top, bottom, left, right), the
+        reference crop_padding at trainers_ldm_cond.py:1175)."""
+        from ..ops import panoptic_post_process
+        c = logits.shape[-1]
+        for bi, m in enumerate(metas):
+            li = logits[bi:bi + 1]
+            pad = m.get("padding")
+            if pad is not None:
+                t, b_, le, r = pad
+                hh, ww = li.shape[1:3]
+                li = li[:, t:hh - b_ if b_ else hh,
+                        le:ww - r if r else ww]
+            oh, ow = m["gt_sem"].shape
+            li = jax.image.resize(li.astype(jnp.float32), (1, oh, ow, c),
+                                  "linear")
+            vm = None
+            if m.get("gt_mask") is not None:
+                vm = jnp.asarray(m["gt_mask"][None])
+            cleaned, _ = panoptic_post_process(
+                li, mask_th=self.mask_th, count_th=self.count_th,
+                overlap_th=self.overlap_th, ignore_label=self.ignore_label,
+                valid_mask=vm)
+            ev.add_image(np.asarray(cleaned)[0], m["gt_sem"],
+                         m.get("gt_inst"))
 
     # ------------------------------------------------------------------
     def save(self, step: Optional[int] = None, tag: Optional[str] = None):

@@ -103,8 +103,8 @@ class TrainerPose:
     def train_loop(self, seed: int = 0, max_steps: Optional[int] = None,
                    log_every: int = 20):
         assert self.ds is not None
-        from ..data import Loader
-        loader = Loader(self.ds, self.batch_size, seed=seed)
+        from ..data import make_loader
+        loader = make_loader(self.ds, self.batch_size, seed=seed)
         max_steps = max_steps or self.train_num_steps
         meter = AverageMeter("loss", ":.4f")
         key = jax.random.key(seed)

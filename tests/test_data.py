@@ -246,3 +246,48 @@ def test_val_split_never_augments(tmp_path):
     a = ds.__getitem__(0, epoch=0)
     b = ds.__getitem__(0, epoch=5)
     np.testing.assert_array_equal(a["image"], b["image"])
+
+
+def test_kitti_fullres_gt(tmp_path):
+    """keep_fullres_gt: meta carries original-resolution remapped GT and
+    the model-res maps are its nearest downsample (one shared id table),
+    enabling per-image eval restore (trainers_ldm_cond.py:1264-1284)."""
+    _write_kitti_tree(tmp_path, hw=(96, 192))
+    ds = KittiDVPS(prefix=str(tmp_path), split="train", size=(64, 128),
+                   keep_fullres_gt=True)
+    s = ds[0]
+    assert s["meta"]["gt_sem"].shape == (96, 192)
+    assert s["meta"]["gt_inst"].shape == (96, 192)
+    assert s["meta"]["im_size"] == (96, 192)
+    assert s["semseg"].shape == (64, 128)
+    # model-res map is exactly the nearest downsample of the full-res map
+    from PIL import Image as PILImage
+    down = np.asarray(PILImage.fromarray(
+        s["meta"]["gt_sem"], mode="I").resize((128, 64), PILImage.NEAREST))
+    np.testing.assert_array_equal(s["semseg"], down)
+    # same id space
+    assert set(np.unique(s["semseg"])) <= set(np.unique(s["meta"]["gt_sem"]))
+
+
+def test_make_loader_injects_process_shard(monkeypatch):
+    """Trainers build loaders via make_loader, which shards each epoch
+    across JAX processes (DistributedSampler equivalent,
+    trainers_ldm_cond.py:246-247): disjoint coverage, no overlap."""
+    import jax
+    from ldmseg_tpu.data import make_loader
+    ds = SyntheticDVPS(length=32, size=(48, 160))
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    seen = []
+    for pid in (0, 1):
+        monkeypatch.setattr(jax, "process_index", lambda pid=pid: pid)
+        ld = make_loader(ds, 4, seed=1)
+        assert (ld.shard_id, ld.num_shards) == (pid, 2)
+        seen.append({m["image_id"] for b in ld.epoch(0) for m in b["meta"]})
+    assert len(seen[0]) == 16 and len(seen[1]) == 16
+    assert not seen[0] & seen[1]
+
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    ld = make_loader(ds, 4)
+    assert ld.num_shards == 1
