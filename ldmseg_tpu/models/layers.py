@@ -73,20 +73,27 @@ class ResnetBlock(nn.Module):
     use_conv_shortcut: bool = False
     output_scale_factor: float = 1.0
     use_pallas_gn: bool = False
+    use_int8: bool = False  # int8 MXU fast path for the 3x3 convs
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if self.use_int8:
+            from ..ops.quant import QuantConv as Conv3
+        else:
+            Conv3 = nn.Conv
         in_channels = x.shape[-1]
         h = GroupNormSiLU(groups=self.groups, eps=self.eps,
                           use_pallas=self.use_pallas_gn, name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
+        h = Conv3(self.out_channels, (3, 3), padding=1, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
-            h = h + t[:, None, None, :]
+            # keep the activation dtype: an f32 temb here would promote h
+            # (and the rest of the network) to f32
+            h = h + t.astype(h.dtype)[:, None, None, :]
         h = GroupNormSiLU(groups=self.groups, eps=self.eps,
                           use_pallas=self.use_pallas_gn, name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
+        h = Conv3(self.out_channels, (3, 3), padding=1, name="conv2")(h)
         if in_channels != self.out_channels:
             if self.use_conv_shortcut:
                 x = nn.Conv(self.out_channels, (3, 3), padding=1,

@@ -68,6 +68,7 @@ class UNetConfig:
     freq_shift: float = 0.0
     use_pallas_gn: bool = False  # fused Pallas GroupNorm+SiLU in resnets
     use_fused_attention: bool = False  # Pallas VMEM-softmax self-attn
+    use_int8_conv: bool = False  # int8 MXU fast path for resnet 3x3 convs
     gradient_checkpointing: bool = False  # remat down/mid/up blocks
 
 
@@ -221,6 +222,7 @@ class DownBlock(nn.Module):
     use_cross_attention: bool
     use_pallas_gn: bool = False
     use_fused_attention: bool = False
+    use_int8: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context=None):
@@ -229,6 +231,7 @@ class DownBlock(nn.Module):
             x = ResnetBlock(self.out_channels, groups=self.groups,
                             eps=self.eps,
                             use_pallas_gn=self.use_pallas_gn,
+                            use_int8=self.use_int8,
                             name=f"resnet{i}")(x, temb)
             if self.has_attn:
                 x = Transformer2D(self.out_channels, self.heads,
@@ -255,6 +258,7 @@ class UpBlock(nn.Module):
     use_cross_attention: bool
     use_pallas_gn: bool = False
     use_fused_attention: bool = False
+    use_int8: bool = False
     # static target resolution for odd skip sizes; a module attribute so
     # nn.remat doesn't trace it (a traced tuple breaks the shape logic)
     upsample_size: Optional[Tuple[int, int]] = None
@@ -267,6 +271,7 @@ class UpBlock(nn.Module):
             x = ResnetBlock(self.out_channels, groups=self.groups,
                             eps=self.eps,
                             use_pallas_gn=self.use_pallas_gn,
+                            use_int8=self.use_int8,
                             name=f"resnet{i}")(x, temb)
             if self.has_attn:
                 x = Transformer2D(self.out_channels, self.heads,
@@ -289,11 +294,13 @@ class MidBlockCrossAttn(nn.Module):
     use_cross_attention: bool
     use_pallas_gn: bool = False
     use_fused_attention: bool = False
+    use_int8: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context=None):
         x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
                         use_pallas_gn=self.use_pallas_gn,
+                        use_int8=self.use_int8,
                         name="resnet0")(x, temb)
         x = Transformer2D(self.channels, self.heads, self.context_dim,
                           groups=self.groups,
@@ -302,6 +309,7 @@ class MidBlockCrossAttn(nn.Module):
                           name="attn")(x, context)
         x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
                         use_pallas_gn=self.use_pallas_gn,
+                        use_int8=self.use_int8,
                         name="resnet1")(x, temb)
         return x
 
@@ -334,7 +342,7 @@ class UNet2DCondition(nn.Module):
 
     config: UNetConfig = UNetConfig()
 
-    def _temb(self, mlp, timesteps, batch):
+    def _temb(self, mlp, timesteps, batch, dtype):
         cfg = self.config
         t = jnp.asarray(timesteps)
         if t.ndim == 0:
@@ -342,7 +350,10 @@ class UNet2DCondition(nn.Module):
         emb = timestep_embedding(t, cfg.block_out_channels[0],
                                  flip_sin_to_cos=cfg.flip_sin_to_cos,
                                  downscale_freq_shift=cfg.freq_shift)
-        return mlp(emb)
+        # sin/cos + MLP in f32 for precision, then drop to the activation
+        # dtype: without this cast the f32 temb promotes every resnet (and
+        # everything downstream) to f32 — 2x HBM traffic, lower MXU rate
+        return mlp(emb).astype(dtype)
 
     @nn.compact
     def __call__(
@@ -363,11 +374,11 @@ class UNet2DCondition(nn.Module):
         # (reference self.time_embedding serves both branches).
         temb_mlp = TimestepEmbedding(cfg.block_out_channels[0] * 4,
                                      name="time_embedding")
-        emb = self._temb(temb_mlp, timesteps, b)
+        emb = self._temb(temb_mlp, timesteps, b, sample.dtype)
         if cfg.separate_encoder:
             t_img = timesteps_img if timesteps_img is not None else \
                 jnp.zeros((), jnp.int32)
-            emb_img = self._temb(temb_mlp, t_img, b)
+            emb_img = self._temb(temb_mlp, t_img, b, sample.dtype)
 
         # 2. conditioning pre-process (forward :319-323)
         context = encoder_hidden_states
