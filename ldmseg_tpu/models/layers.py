@@ -74,12 +74,16 @@ class ResnetBlock(nn.Module):
     output_scale_factor: float = 1.0
     use_pallas_gn: bool = False
     use_int8: bool = False  # int8 MXU fast path for the 3x3 convs
+    int8_act_scale: Optional[float] = None  # static activation scale
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         if self.use_int8:
-            from ..ops.quant import QuantConv as Conv3
+            import functools
+            from ..ops.quant import QuantConv
+            Conv3 = functools.partial(QuantConv,
+                                      act_scale=self.int8_act_scale)
         else:
             Conv3 = nn.Conv
         in_channels = x.shape[-1]

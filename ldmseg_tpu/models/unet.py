@@ -69,6 +69,7 @@ class UNetConfig:
     use_pallas_gn: bool = False  # fused Pallas GroupNorm+SiLU in resnets
     use_fused_attention: bool = False  # Pallas VMEM-softmax self-attn
     use_int8_conv: bool = False  # int8 MXU fast path for resnet 3x3 convs
+    int8_act_scale: Optional[float] = None  # static act scale for int8
     gradient_checkpointing: bool = False  # remat down/mid/up blocks
 
 
@@ -223,6 +224,7 @@ class DownBlock(nn.Module):
     use_pallas_gn: bool = False
     use_fused_attention: bool = False
     use_int8: bool = False
+    int8_act_scale: Optional[float] = None
 
     @nn.compact
     def __call__(self, x, temb, context=None):
@@ -232,6 +234,7 @@ class DownBlock(nn.Module):
                             eps=self.eps,
                             use_pallas_gn=self.use_pallas_gn,
                             use_int8=self.use_int8,
+                            int8_act_scale=self.int8_act_scale,
                             name=f"resnet{i}")(x, temb)
             if self.has_attn:
                 x = Transformer2D(self.out_channels, self.heads,
@@ -259,6 +262,7 @@ class UpBlock(nn.Module):
     use_pallas_gn: bool = False
     use_fused_attention: bool = False
     use_int8: bool = False
+    int8_act_scale: Optional[float] = None
     # static target resolution for odd skip sizes; a module attribute so
     # nn.remat doesn't trace it (a traced tuple breaks the shape logic)
     upsample_size: Optional[Tuple[int, int]] = None
@@ -272,6 +276,7 @@ class UpBlock(nn.Module):
                             eps=self.eps,
                             use_pallas_gn=self.use_pallas_gn,
                             use_int8=self.use_int8,
+                            int8_act_scale=self.int8_act_scale,
                             name=f"resnet{i}")(x, temb)
             if self.has_attn:
                 x = Transformer2D(self.out_channels, self.heads,
@@ -295,12 +300,14 @@ class MidBlockCrossAttn(nn.Module):
     use_pallas_gn: bool = False
     use_fused_attention: bool = False
     use_int8: bool = False
+    int8_act_scale: Optional[float] = None
 
     @nn.compact
     def __call__(self, x, temb, context=None):
         x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
                         use_pallas_gn=self.use_pallas_gn,
                         use_int8=self.use_int8,
+                        int8_act_scale=self.int8_act_scale,
                         name="resnet0")(x, temb)
         x = Transformer2D(self.channels, self.heads, self.context_dim,
                           groups=self.groups,
@@ -310,6 +317,7 @@ class MidBlockCrossAttn(nn.Module):
         x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
                         use_pallas_gn=self.use_pallas_gn,
                         use_int8=self.use_int8,
+                        int8_act_scale=self.int8_act_scale,
                         name="resnet1")(x, temb)
         return x
 
@@ -419,7 +427,9 @@ class UNet2DCondition(nn.Module):
                     add_downsample=i < len(cfg.block_out_channels) - 1,
                     use_cross_attention=cfg.use_cross_attention,
                     use_pallas_gn=cfg.use_pallas_gn,
-                use_fused_attention=cfg.use_fused_attention,
+                    use_int8=cfg.use_int8_conv,
+                    int8_act_scale=cfg.int8_act_scale,
+                    use_fused_attention=cfg.use_fused_attention,
                     name=f"down_blocks_img{i}")(x_img, emb_img, context)
                 if cfg.add_adaptor:
                     res = [nn.Conv(r.shape[-1], (3, 3), padding=1,
@@ -452,6 +462,8 @@ class UNet2DCondition(nn.Module):
                 add_downsample=i < len(cfg.block_out_channels) - 1,
                 use_cross_attention=cfg.use_cross_attention,
                 use_pallas_gn=cfg.use_pallas_gn,
+                use_int8=cfg.use_int8_conv,
+                int8_act_scale=cfg.int8_act_scale,
                 use_fused_attention=cfg.use_fused_attention,
                 name=f"down_blocks{i}")(x, emb, context)
             res_stack.extend(res)
@@ -466,7 +478,9 @@ class UNet2DCondition(nn.Module):
             groups=cfg.norm_num_groups, eps=cfg.norm_eps,
             use_cross_attention=cfg.use_cross_attention,
             use_pallas_gn=cfg.use_pallas_gn,
-                use_fused_attention=cfg.use_fused_attention,
+            use_int8=cfg.use_int8_conv,
+            int8_act_scale=cfg.int8_act_scale,
+            use_fused_attention=cfg.use_fused_attention,
             name="mid_block")(x, emb, context)
 
         # 6. up blocks (:400-425)
@@ -487,6 +501,8 @@ class UNet2DCondition(nn.Module):
                 add_upsample=i < len(rev) - 1,
                 use_cross_attention=cfg.use_cross_attention,
                 use_pallas_gn=cfg.use_pallas_gn,
+                use_int8=cfg.use_int8_conv,
+                int8_act_scale=cfg.int8_act_scale,
                 use_fused_attention=cfg.use_fused_attention,
                 upsample_size=upsample_size,
                 name=f"up_blocks{i}")(x, res_samples, emb, context)

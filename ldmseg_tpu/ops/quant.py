@@ -33,18 +33,23 @@ def _dn(lhs_shape, rhs_shape):
         lhs_shape, rhs_shape, ("NHWC", "HWIO", "NHWC"))
 
 
-def _int8_conv_impl(x, w, strides, padding):
-    """s8 x s8 -> s32 conv with dynamic per-tensor activation scale and
-    per-output-channel weight scale; returns x.dtype."""
+def _int8_conv_impl(x, w, strides, padding, act_scale=None):
+    """s8 x s8 -> s32 conv with per-tensor activation scale (dynamic
+    amax, or static when ``act_scale`` is given — a static scale lets the
+    round/clip fuse into the producing elementwise pass instead of
+    costing an extra amax sweep over the activation) and per-output-
+    channel weight scale; returns x.dtype."""
     # weight: symmetric per-output-channel (HWIO -> O)
     w_absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2))
     w_scale = jnp.maximum(w_absmax, 1e-8) / 127.0
     w_q = jnp.round(w.astype(jnp.float32) / w_scale).astype(jnp.int8)
 
-    # activation: symmetric per-tensor, dynamic
     x_f = x.astype(jnp.float32)
-    x_absmax = jnp.max(jnp.abs(x_f))
-    x_scale = jnp.maximum(x_absmax, 1e-8) / 127.0
+    if act_scale is None:
+        x_absmax = jnp.max(jnp.abs(x_f))
+        x_scale = jnp.maximum(x_absmax, 1e-8) / 127.0
+    else:
+        x_scale = jnp.float32(act_scale)
     x_q = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
 
     y = jax.lax.conv_general_dilated(
@@ -54,9 +59,9 @@ def _int8_conv_impl(x, w, strides, padding):
     return (y.astype(jnp.float32) * (x_scale * w_scale)).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def int8_conv(x, w, strides, padding):
-    return _int8_conv_impl(x, w, strides, padding)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def int8_conv(x, w, strides, padding, act_scale=None):
+    return _int8_conv_impl(x, w, strides, padding, act_scale)
 
 
 def _float_conv(x, w, strides, padding):
@@ -65,11 +70,11 @@ def _float_conv(x, w, strides, padding):
         dimension_numbers=_dn(x.shape, w.shape))
 
 
-def _fwd(x, w, strides, padding):
-    return _int8_conv_impl(x, w, strides, padding), (x, w)
+def _fwd(x, w, strides, padding, act_scale=None):
+    return _int8_conv_impl(x, w, strides, padding, act_scale), (x, w)
 
 
-def _bwd(strides, padding, res, g):
+def _bwd(strides, padding, act_scale, res, g):
     # straight-through: gradients of the float conv (standard QAT recipe)
     x, w = res
     _, vjp = jax.vjp(lambda a, b: _float_conv(a, b, strides, padding), x, w)
@@ -88,6 +93,7 @@ class QuantConv(nn.Module):
     kernel_size: tuple
     strides: tuple = (1, 1)
     padding: int | str = 0
+    act_scale: float | None = None  # static per-tensor activation scale
 
     @nn.compact
     def __call__(self, x):
@@ -100,5 +106,5 @@ class QuantConv(nn.Module):
             pad = [(self.padding, self.padding)] * 2
         else:
             pad = self.padding
-        y = int8_conv(x, kernel, tuple(self.strides), pad)
+        y = int8_conv(x, kernel, tuple(self.strides), pad, self.act_scale)
         return y + bias.astype(y.dtype)
