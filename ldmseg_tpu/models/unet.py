@@ -69,6 +69,7 @@ class UNetConfig:
     use_pallas_gn: bool = False  # fused Pallas GroupNorm+SiLU in resnets
     use_fused_attention: bool = False  # Pallas VMEM-softmax self-attn
     use_int8_conv: bool = False  # int8 MXU fast path for resnet 3x3 convs
+    use_int8_attention: bool = False  # s8 matmuls inside the attn kernel
     int8_act_scale: Optional[float] = None  # static act scale for int8
     gradient_checkpointing: bool = False  # remat down/mid/up blocks
 
@@ -83,6 +84,7 @@ class CrossAttention(nn.Module):
     heads: int
     context_dim: Optional[int] = None
     use_fused: bool = False
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -101,7 +103,8 @@ class CrossAttention(nn.Module):
         scale = head_dim**-0.5
         if self.use_fused and is_self:
             from ..ops.pallas.attention import fused_self_attention
-            out = fused_self_attention(q, k, v, scale).reshape(b, tq, inner)
+            out = fused_self_attention(q, k, v, scale,
+                                       int8=self.int8).reshape(b, tq, inner)
             return nn.Dense(inner, name="to_out")(out)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
@@ -129,12 +132,14 @@ class BasicTransformerBlock(nn.Module):
     context_dim: int
     use_cross_attention: bool = True
     use_fused_attention: bool = False
+    int8_attention: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
         h = nn.LayerNorm(name="norm1")(x)
         x = x + CrossAttention(self.dim, self.heads,
                                use_fused=self.use_fused_attention,
+                               int8=self.int8_attention,
                                name="attn1")(h)
         if self.use_cross_attention:
             h = nn.LayerNorm(name="norm2")(x)
@@ -156,6 +161,7 @@ class Transformer2D(nn.Module):
     groups: int = 32
     use_cross_attention: bool = True
     use_fused_attention: bool = False
+    int8_attention: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -170,6 +176,7 @@ class Transformer2D(nn.Module):
                 self.channels, self.heads, self.context_dim,
                 use_cross_attention=self.use_cross_attention,
                 use_fused_attention=self.use_fused_attention,
+                int8_attention=self.int8_attention,
                 name=f"block{i}")(y, context)
         y = y.reshape(b, h, w, self.channels)
         y = nn.Conv(self.channels, (1, 1), name="proj_out")(y)
@@ -223,6 +230,7 @@ class DownBlock(nn.Module):
     use_cross_attention: bool
     use_pallas_gn: bool = False
     use_fused_attention: bool = False
+    int8_attention: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
 
@@ -241,6 +249,7 @@ class DownBlock(nn.Module):
                                   self.context_dim, groups=self.groups,
                                   use_cross_attention=self.use_cross_attention,
                                   use_fused_attention=self.use_fused_attention,
+                                  int8_attention=self.int8_attention,
                                   name=f"attn{i}")(x, context)
             res_outputs.append(x)
         if self.add_downsample:
@@ -261,6 +270,7 @@ class UpBlock(nn.Module):
     use_cross_attention: bool
     use_pallas_gn: bool = False
     use_fused_attention: bool = False
+    int8_attention: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     # static target resolution for odd skip sizes; a module attribute so
@@ -283,6 +293,7 @@ class UpBlock(nn.Module):
                                   self.context_dim, groups=self.groups,
                                   use_cross_attention=self.use_cross_attention,
                                   use_fused_attention=self.use_fused_attention,
+                                  int8_attention=self.int8_attention,
                                   name=f"attn{i}")(x, context)
         if self.add_upsample:
             x = Upsample(self.out_channels, name="upsample")(
@@ -299,6 +310,7 @@ class MidBlockCrossAttn(nn.Module):
     use_cross_attention: bool
     use_pallas_gn: bool = False
     use_fused_attention: bool = False
+    int8_attention: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
 
@@ -313,6 +325,7 @@ class MidBlockCrossAttn(nn.Module):
                           groups=self.groups,
                           use_cross_attention=self.use_cross_attention,
                           use_fused_attention=self.use_fused_attention,
+                          int8_attention=self.int8_attention,
                           name="attn")(x, context)
         x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
                         use_pallas_gn=self.use_pallas_gn,
@@ -430,6 +443,7 @@ class UNet2DCondition(nn.Module):
                     use_int8=cfg.use_int8_conv,
                     int8_act_scale=cfg.int8_act_scale,
                     use_fused_attention=cfg.use_fused_attention,
+                    int8_attention=cfg.use_int8_attention,
                     name=f"down_blocks_img{i}")(x_img, emb_img, context)
                 if cfg.add_adaptor:
                     res = [nn.Conv(r.shape[-1], (3, 3), padding=1,
@@ -465,6 +479,7 @@ class UNet2DCondition(nn.Module):
                 use_int8=cfg.use_int8_conv,
                 int8_act_scale=cfg.int8_act_scale,
                 use_fused_attention=cfg.use_fused_attention,
+                int8_attention=cfg.use_int8_attention,
                 name=f"down_blocks{i}")(x, emb, context)
             res_stack.extend(res)
 
@@ -481,6 +496,7 @@ class UNet2DCondition(nn.Module):
             use_int8=cfg.use_int8_conv,
             int8_act_scale=cfg.int8_act_scale,
             use_fused_attention=cfg.use_fused_attention,
+            int8_attention=cfg.use_int8_attention,
             name="mid_block")(x, emb, context)
 
         # 6. up blocks (:400-425)
@@ -504,6 +520,7 @@ class UNet2DCondition(nn.Module):
                 use_int8=cfg.use_int8_conv,
                 int8_act_scale=cfg.int8_act_scale,
                 use_fused_attention=cfg.use_fused_attention,
+                int8_attention=cfg.use_int8_attention,
                 upsample_size=upsample_size,
                 name=f"up_blocks{i}")(x, res_samples, emb, context)
 

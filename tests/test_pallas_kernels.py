@@ -168,3 +168,63 @@ def test_gn_silu_conv_interpret_and_fallback():
                         max_vmem_tile_bytes=64)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_attention_kernel_int8_interpret_mode():
+    """int8 attention body (s8 MXU matmuls, VMEM-local quantization)
+    stays within quantization error of the f32 reference."""
+    import functools
+    from ldmseg_tpu.ops.pallas.attention import _attn_kernel
+    bh, t, d, bq = 2, 64, 8, 32
+    q = jax.random.normal(jax.random.key(0), (bh, t, d), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (bh, t, d), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (bh, t, d), jnp.float32)
+    scale = d**-0.5
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, int8=True),
+        grid=(bh, t // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=True,
+    )(q, k, v)
+    ref = attn_reference(q, k, v, scale)
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).mean() / \
+        np.abs(np.asarray(ref)).mean()
+    assert rel < 0.05, rel
+    # correlation stays essentially 1
+    c = np.corrcoef(np.asarray(out).ravel(), np.asarray(ref).ravel())[0, 1]
+    assert c > 0.995, c
+
+
+def test_int8_conv_accuracy_gate():
+    """ops.quant.int8_conv: per-channel weight + per-tensor activation
+    quantization within 3% of the float conv; straight-through grads
+    match the float conv's."""
+    from ldmseg_tpu.ops.quant import int8_conv
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 16), jnp.float32)
+    w = jax.random.normal(jax.random.key(1), (3, 3, 16, 32)) * 0.1
+    pad = [(1, 1), (1, 1)]
+    y = int8_conv(x, w, (1, 1), pad)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), pad,
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC")))
+    rel = np.abs(np.asarray(y - ref)).mean() / np.abs(np.asarray(ref)).mean()
+    assert rel < 0.03, rel
+
+    g_q = jax.grad(lambda a: jnp.sum(int8_conv(a, w, (1, 1), pad) ** 2))(x)
+    g_f = jax.grad(lambda a: jnp.sum(ref_conv(a, w, pad) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_q), np.asarray(g_f),
+                               rtol=0.15, atol=0.3)
+
+
+def ref_conv(x, w, pad):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), pad,
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC")))
