@@ -39,12 +39,17 @@ class GroupNormSiLU(nn.Module):
     groups: int = 32
     eps: float = 1e-6
     use_pallas: bool = False
+    quantize: bool = False  # emit (int8, per-image scale); inference only
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.quantize:
+            from ..ops.pallas.groupnorm_silu import group_norm_silu_quant
+            return group_norm_silu_quant(x, scale, bias, self.groups,
+                                         self.eps)
         if self.use_pallas:
             from ..ops.pallas.groupnorm_silu import group_norm_silu
             return group_norm_silu(x, scale, bias, self.groups, self.eps)
@@ -75,6 +80,11 @@ class ResnetBlock(nn.Module):
     use_pallas_gn: bool = False
     use_int8: bool = False  # int8 MXU fast path for the 3x3 convs
     int8_act_scale: Optional[float] = None  # static activation scale
+    # fuse quantization into the GN+SiLU Pallas pass (per-image dynamic
+    # scale at zero extra HBM traffic; INFERENCE-ONLY — int8 tensors carry
+    # no tangent). False -> in-graph quantization with straight-through
+    # gradients (train-safe).
+    int8_fuse_gn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -86,9 +96,11 @@ class ResnetBlock(nn.Module):
                                       act_scale=self.int8_act_scale)
         else:
             Conv3 = nn.Conv
+        quant_gn = self.use_int8 and self.int8_fuse_gn
         in_channels = x.shape[-1]
         h = GroupNormSiLU(groups=self.groups, eps=self.eps,
-                          use_pallas=self.use_pallas_gn, name="norm1")(x)
+                          use_pallas=self.use_pallas_gn,
+                          quantize=quant_gn, name="norm1")(x)
         h = Conv3(self.out_channels, (3, 3), padding=1, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
@@ -96,7 +108,8 @@ class ResnetBlock(nn.Module):
             # (and the rest of the network) to f32
             h = h + t.astype(h.dtype)[:, None, None, :]
         h = GroupNormSiLU(groups=self.groups, eps=self.eps,
-                          use_pallas=self.use_pallas_gn, name="norm2")(h)
+                          use_pallas=self.use_pallas_gn,
+                          quantize=quant_gn, name="norm2")(h)
         h = Conv3(self.out_channels, (3, 3), padding=1, name="conv2")(h)
         if in_channels != self.out_channels:
             if self.use_conv_shortcut:

@@ -71,6 +71,7 @@ class UNetConfig:
     use_int8_conv: bool = False  # int8 MXU fast path for resnet 3x3 convs
     use_int8_attention: bool = False  # s8 matmuls inside the attn kernel
     int8_act_scale: Optional[float] = None  # static act scale for int8
+    int8_fuse_gn: bool = False  # fused GN+quant pass (inference only)
     gradient_checkpointing: bool = False  # remat down/mid/up blocks
 
 
@@ -233,6 +234,7 @@ class DownBlock(nn.Module):
     int8_attention: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
+    int8_fuse_gn: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context=None):
@@ -243,6 +245,7 @@ class DownBlock(nn.Module):
                             use_pallas_gn=self.use_pallas_gn,
                             use_int8=self.use_int8,
                             int8_act_scale=self.int8_act_scale,
+                            int8_fuse_gn=self.int8_fuse_gn,
                             name=f"resnet{i}")(x, temb)
             if self.has_attn:
                 x = Transformer2D(self.out_channels, self.heads,
@@ -273,6 +276,7 @@ class UpBlock(nn.Module):
     int8_attention: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
+    int8_fuse_gn: bool = False
     # static target resolution for odd skip sizes; a module attribute so
     # nn.remat doesn't trace it (a traced tuple breaks the shape logic)
     upsample_size: Optional[Tuple[int, int]] = None
@@ -287,6 +291,7 @@ class UpBlock(nn.Module):
                             use_pallas_gn=self.use_pallas_gn,
                             use_int8=self.use_int8,
                             int8_act_scale=self.int8_act_scale,
+                            int8_fuse_gn=self.int8_fuse_gn,
                             name=f"resnet{i}")(x, temb)
             if self.has_attn:
                 x = Transformer2D(self.out_channels, self.heads,
@@ -313,6 +318,7 @@ class MidBlockCrossAttn(nn.Module):
     int8_attention: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
+    int8_fuse_gn: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context=None):
@@ -320,6 +326,7 @@ class MidBlockCrossAttn(nn.Module):
                         use_pallas_gn=self.use_pallas_gn,
                         use_int8=self.use_int8,
                         int8_act_scale=self.int8_act_scale,
+                        int8_fuse_gn=self.int8_fuse_gn,
                         name="resnet0")(x, temb)
         x = Transformer2D(self.channels, self.heads, self.context_dim,
                           groups=self.groups,
@@ -331,6 +338,7 @@ class MidBlockCrossAttn(nn.Module):
                         use_pallas_gn=self.use_pallas_gn,
                         use_int8=self.use_int8,
                         int8_act_scale=self.int8_act_scale,
+                        int8_fuse_gn=self.int8_fuse_gn,
                         name="resnet1")(x, temb)
         return x
 
@@ -442,6 +450,7 @@ class UNet2DCondition(nn.Module):
                     use_pallas_gn=cfg.use_pallas_gn,
                     use_int8=cfg.use_int8_conv,
                     int8_act_scale=cfg.int8_act_scale,
+                    int8_fuse_gn=cfg.int8_fuse_gn,
                     use_fused_attention=cfg.use_fused_attention,
                     int8_attention=cfg.use_int8_attention,
                     name=f"down_blocks_img{i}")(x_img, emb_img, context)
@@ -478,6 +487,7 @@ class UNet2DCondition(nn.Module):
                 use_pallas_gn=cfg.use_pallas_gn,
                 use_int8=cfg.use_int8_conv,
                 int8_act_scale=cfg.int8_act_scale,
+                int8_fuse_gn=cfg.int8_fuse_gn,
                 use_fused_attention=cfg.use_fused_attention,
                 int8_attention=cfg.use_int8_attention,
                 name=f"down_blocks{i}")(x, emb, context)
@@ -495,6 +505,7 @@ class UNet2DCondition(nn.Module):
             use_pallas_gn=cfg.use_pallas_gn,
             use_int8=cfg.use_int8_conv,
             int8_act_scale=cfg.int8_act_scale,
+            int8_fuse_gn=cfg.int8_fuse_gn,
             use_fused_attention=cfg.use_fused_attention,
             int8_attention=cfg.use_int8_attention,
             name="mid_block")(x, emb, context)
@@ -519,6 +530,7 @@ class UNet2DCondition(nn.Module):
                 use_pallas_gn=cfg.use_pallas_gn,
                 use_int8=cfg.use_int8_conv,
                 int8_act_scale=cfg.int8_act_scale,
+                int8_fuse_gn=cfg.int8_fuse_gn,
                 use_fused_attention=cfg.use_fused_attention,
                 int8_attention=cfg.use_int8_attention,
                 upsample_size=upsample_size,

@@ -129,3 +129,99 @@ def group_norm_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5,
     if _vmem_bytes((h, w, c), jnp.float32) <= max_vmem_tile_bytes:
         return fused_group_norm_silu(x, scale, bias, groups, eps)
     return _reference(x, scale, bias, groups, eps)
+
+
+# ---------------------------------------------------------------------------
+# quantizing variant: GN + SiLU + per-image symmetric int8 quantization in
+# the same VMEM pass. The amax sweep costs nothing extra (the activation is
+# already resident) and the int8 write HALVES the bandwidth of the pass —
+# this is what makes the int8 conv path actually pay off (the XLA-graph
+# dynamic-amax version spends an extra HBM sweep per conv, see ops/quant.py).
+# INFERENCE-ONLY: int8 outputs carry no tangent; train with the bf16 path.
+# ---------------------------------------------------------------------------
+
+def _gn_silu_quant_kernel(x_ref, scale_ref, bias_ref, q_ref, s_ref, *,
+                          groups: int, eps: float):
+    x = x_ref[0].astype(jnp.float32)          # [H, W, C]
+    h, w, c = x.shape
+    cg = c // groups
+    xf = x.reshape(h * w, c)
+
+    chan_group = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    group_ids = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    m = (chan_group == group_ids).astype(jnp.float32)  # [C, G]
+
+    s1 = jnp.sum(xf, axis=0, keepdims=True)
+    s2 = jnp.sum(xf * xf, axis=0, keepdims=True)
+    n = jnp.float32(h * w * cg)
+    mean_g = jnp.dot(s1, m, preferred_element_type=jnp.float32) / n
+    ex2_g = jnp.dot(s2, m, preferred_element_type=jnp.float32) / n
+    var_g = ex2_g - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, m.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, m.T, preferred_element_type=jnp.float32)
+
+    y = (xf - mean_c) * inv_c
+    y = y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(
+        jnp.float32)
+    y = y * jax.nn.sigmoid(y)                 # SiLU
+
+    amax = jnp.maximum(jnp.max(jnp.abs(y)), 1e-6)
+    s = amax / 127.0
+    q = jnp.round(y / s)
+    q_ref[0] = q.reshape(h, w, c).astype(jnp.int8)
+    s_ref[0, 0] = s
+
+
+def _pallas_available() -> bool:
+    # compiled pallas needs a real TPU backend; CPU only has interpret mode
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+def group_norm_silu_quant(x, scale, bias, groups: int = 32,
+                          eps: float = 1e-5,
+                          max_vmem_tile_bytes: int = 8 * 1024 * 1024):
+    """``silu(gn(x))`` quantized to int8 with a per-image scale.
+
+    Returns ``(q int8 [B,H,W,C], s float32 [B])`` with
+    ``q * s[:,None,None,None] ~= silu(gn(x))``. Falls back to the XLA
+    reference + jnp per-image amax when the tile exceeds VMEM.
+    """
+    b, h, w, c = x.shape
+    assert c % groups == 0
+    if _pallas_available() and \
+            _vmem_bytes((h, w, c), jnp.float32) <= max_vmem_tile_bytes:
+        kernel = functools.partial(_gn_silu_quant_kernel, groups=groups,
+                                   eps=eps)
+        limit = 8 * _vmem_bytes((h, w, c), jnp.float32) + (2 << 20)
+        q, s = pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h, w, c), jnp.int8),
+                jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(limit, 128 * 1024 * 1024)),
+        )(x, scale, bias)
+        return q, s[:, 0]
+    y = _reference(x, scale, bias, groups, eps).astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(y), axis=(1, 2, 3)), 1e-6)
+    s = amax / 127.0
+    q = jnp.round(y / s[:, None, None, None]).astype(jnp.int8)
+    return q, s

@@ -84,6 +84,28 @@ def _bwd(strides, padding, act_scale, res, g):
 int8_conv.defvjp(_fwd, _bwd)
 
 
+def quantize_weight(w):
+    """Per-output-channel symmetric int8 weight quantization (HWIO)."""
+    w_absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2))
+    w_scale = jnp.maximum(w_absmax, 1e-8) / 127.0
+    w_q = jnp.round(w.astype(jnp.float32) / w_scale).astype(jnp.int8)
+    return w_q, w_scale
+
+
+def int8_conv_prequant(q, s, w, strides, padding, out_dtype=jnp.bfloat16):
+    """Conv on a PRE-quantized activation (from the fused GN+SiLU+quant
+    Pallas pass, ops/pallas/groupnorm_silu.py): s8 x s8 -> s32 with a
+    per-image activation scale ``s [B]``. No gradient (inference path —
+    train with the bf16 graph)."""
+    w_q, w_scale = quantize_weight(w)
+    y = jax.lax.conv_general_dilated(
+        q, w_q, strides, padding,
+        dimension_numbers=_dn(q.shape, w.shape),
+        preferred_element_type=jnp.int32)
+    scale = s[:, None, None, None] * w_scale
+    return (y.astype(jnp.float32) * scale).astype(out_dtype)
+
+
 class QuantConv(nn.Module):
     """Drop-in for ``nn.Conv`` (3x3/1x1, NHWC) with the int8 fast path.
     The parameter tree is IDENTICAL to ``nn.Conv`` (kernel/bias), so the
@@ -97,14 +119,23 @@ class QuantConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # x: activation array, or (q int8, s [B]) from the fused
+        # GN+SiLU+quant pass
+        prequant = isinstance(x, tuple)
+        cin = x[0].shape[-1] if prequant else x.shape[-1]
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (kh, kw, x.shape[-1], self.features))
+            (kh, kw, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if isinstance(self.padding, int):
             pad = [(self.padding, self.padding)] * 2
         else:
             pad = self.padding
-        y = int8_conv(x, kernel, tuple(self.strides), pad, self.act_scale)
+        if prequant:
+            q, s = x
+            y = int8_conv_prequant(q, s, kernel, tuple(self.strides), pad)
+        else:
+            y = int8_conv(x, kernel, tuple(self.strides), pad,
+                          self.act_scale)
         return y + bias.astype(y.dtype)

@@ -1,0 +1,69 @@
+"""int8 inference mode: the quantized UNet (int8 resnet convs via the
+fused GN+SiLU+quant pass, optional int8 attention) must track the bf16
+model through a full DDIM sampling loop on the SAME parameters.
+
+TPU-native optimization with no reference counterpart (the reference is
+fp16 AMP on cuDNN, trainers_ldm_cond.py:106); opt-in and inference-only.
+On CPU the fused pass uses the XLA fallback — identical quantization
+math, so this gates the numerics the TPU kernel implements.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ldmseg_tpu.models import UNet2DCondition, UNetConfig
+from ldmseg_tpu.diffusion import make_ddim_schedule, ddim_sample
+
+BASE = dict(in_channels=8, out_channels=4,
+            block_out_channels=(16, 32, 32, 64), layers_per_block=1,
+            attention_head_dim=2, norm_num_groups=8,
+            use_cross_attention=False)
+
+
+def _sample(unet, params, rgb_latents, steps=5):
+    sched = make_ddim_schedule(beta_schedule="scaled_linear",
+                               beta_start=0.00085, beta_end=0.012,
+                               clip_sample=False, set_alpha_to_one=False)
+
+    def model_fn(latents, condition, t):
+        inp = jnp.concatenate([latents, rgb_latents], axis=-1)
+        return unet.apply(params, inp, t)
+
+    init = jax.random.normal(jax.random.key(3), rgb_latents.shape)
+    return ddim_sample(sched, model_fn, init, num_inference_steps=steps)
+
+
+def test_int8_sampling_tracks_bf16():
+    u_bf = UNet2DCondition(config=UNetConfig(**BASE))
+    u_i8 = UNet2DCondition(config=UNetConfig(
+        **BASE, use_int8_conv=True, int8_fuse_gn=True))
+    params = u_bf.init(jax.random.key(0), jnp.zeros((1, 8, 16, 8)),
+                       jnp.zeros((1,), jnp.int32))
+    rgb = jax.random.normal(jax.random.key(1), (2, 8, 16, 4))
+
+    x_bf = np.asarray(_sample(u_bf, params, rgb))
+    x_i8 = np.asarray(_sample(u_i8, params, rgb))
+
+    assert np.all(np.isfinite(x_i8))
+    rel = np.abs(x_i8 - x_bf).mean() / (np.abs(x_bf).mean() + 1e-8)
+    corr = np.corrcoef(x_bf.ravel(), x_i8.ravel())[0, 1]
+    # accumulated over the whole sampling trajectory
+    assert rel < 0.25, rel
+    assert corr > 0.97, corr
+
+
+def test_int8_param_tree_identical():
+    """The int8 flags must not change the checkpoint layout — the mode
+    can be flipped on any loaded bf16 checkpoint."""
+    u_bf = UNet2DCondition(config=UNetConfig(**BASE))
+    u_i8 = UNet2DCondition(config=UNetConfig(
+        **BASE, use_int8_conv=True, int8_fuse_gn=True,
+        use_int8_attention=True))
+    p_bf = u_bf.init(jax.random.key(0), jnp.zeros((1, 8, 16, 8)),
+                     jnp.zeros((1,), jnp.int32))
+    p_i8 = u_i8.init(jax.random.key(0), jnp.zeros((1, 8, 16, 8)),
+                     jnp.zeros((1,), jnp.int32))
+    t_bf = jax.tree_util.tree_structure(p_bf)
+    t_i8 = jax.tree_util.tree_structure(p_i8)
+    assert t_bf == t_i8
