@@ -170,7 +170,9 @@ def _gn_silu_quant_kernel(x_ref, scale_ref, bias_ref, q_ref, s_ref, *,
     s = amax / 127.0
     q = jnp.round(y / s)
     q_ref[0] = q.reshape(h, w, c).astype(jnp.int8)
-    s_ref[0, 0] = s
+    # scalar broadcast into an (8, 128) tile — Mosaic requires output
+    # blocks to tile 8x128, so a true (1,) scalar output is not legal
+    s_ref[0] = jnp.full((8, 128), s, jnp.float32)
 
 
 def _pallas_available() -> bool:
@@ -209,17 +211,17 @@ def group_norm_silu_quant(x, scale, bias, groups: int = 32,
             out_specs=(
                 pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda i: (i, 0),
+                pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((b, h, w, c), jnp.int8),
-                jax.ShapeDtypeStruct((b, 1), jnp.float32),
+                jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(limit, 128 * 1024 * 1024)),
         )(x, scale, bias)
-        return q, s[:, 0]
+        return q, s[:, 0, 0]
     y = _reference(x, scale, bias, groups, eps).astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(y), axis=(1, 2, 3)), 1e-6)
     s = amax / 127.0

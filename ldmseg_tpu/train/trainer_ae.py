@@ -321,15 +321,36 @@ class TrainerAE:
                         drop_last=False)
         for i, batch in enumerate(loader.epoch(0)):
             logits = self._eval_logits(batch)
-            h, w = batch["semseg"].shape[1:3]
-            logits = jax.image.resize(
-                logits, (logits.shape[0], h, w, logits.shape[-1]), "linear")
-            cleaned, _ = panoptic_post_process(
-                logits, mask_th=mask_th, count_th=count_th,
-                overlap_th=overlap_th, ignore_label=self.ignore_label)
-            cleaned = np.asarray(cleaned)
-            for bi in range(cleaned.shape[0]):
-                ev.add_image(cleaned[bi], batch["semseg"][bi])
+            metas = batch.get("meta")
+            if metas and all("gt_sem" in m for m in metas):
+                # per-image original-size restore (reference upsamples and
+                # resizes each prediction to its own im_size before
+                # scoring, trainers_ae.py:624-727 / trainers_ldm_cond.py
+                # :1264-1284)
+                c = logits.shape[-1]
+                for bi, m in enumerate(metas):
+                    oh, ow = m["gt_sem"].shape
+                    li = jax.image.resize(
+                        logits[bi:bi + 1].astype(jnp.float32),
+                        (1, oh, ow, c), "linear")
+                    vm = jnp.asarray(m["gt_mask"][None]) \
+                        if m.get("gt_mask") is not None else None
+                    cleaned, _ = panoptic_post_process(
+                        li, mask_th=mask_th, count_th=count_th,
+                        overlap_th=overlap_th,
+                        ignore_label=self.ignore_label, valid_mask=vm)
+                    ev.add_image(np.asarray(cleaned)[0], m["gt_sem"])
+            else:
+                h, w = batch["semseg"].shape[1:3]
+                logits = jax.image.resize(
+                    logits, (logits.shape[0], h, w, logits.shape[-1]),
+                    "linear")
+                cleaned, _ = panoptic_post_process(
+                    logits, mask_th=mask_th, count_th=count_th,
+                    overlap_th=overlap_th, ignore_label=self.ignore_label)
+                cleaned = np.asarray(cleaned)
+                for bi in range(cleaned.shape[0]):
+                    ev.add_image(cleaned[bi], batch["semseg"][bi])
             if max_batches is not None and i + 1 >= max_batches:
                 break
         return ev.evaluate()

@@ -147,3 +147,40 @@ def test_save_resume_roundtrip(tmp_path):
     assert int(tr2.state.step) == step_before
     w_after = np.asarray(jax.tree_util.tree_leaves(tr2.state.params)[0])
     np.testing.assert_allclose(w_before, w_after)
+
+
+def test_ae_pq_fullres_restore(tmp_path, monkeypatch):
+    """AE compute_pq restores each reconstruction to its own original
+    resolution when the val dataset keeps full-res GT (mirrors the LDM
+    per-image restore; reference trainers_ae.py:624-727)."""
+    tr = _make_trainer(tmp_path)
+    from ldmseg_tpu.data import Loader
+    batch = next(iter(Loader(tr.ds, 8, shuffle=False)))
+    tr.init_state(batch)
+
+    class HeteroVal:
+        """Synthetic samples carrying heterogeneous full-res GT metas."""
+
+        def __init__(self, base):
+            self.base = base
+
+        def __len__(self):
+            return len(self.base)
+
+        def __getitem__(self, idx, epoch=0):
+            s = self.base.__getitem__(idx, epoch=epoch)
+            oh, ow = (96, 192) if idx % 2 == 0 else (48, 96)
+            from PIL import Image
+            gt = np.asarray(Image.fromarray(
+                s["semseg"].astype(np.int32), mode="I").resize(
+                (ow, oh), Image.NEAREST))
+            s["meta"] = dict(s["meta"])
+            s["meta"]["gt_sem"] = gt.astype(np.int32)
+            s["meta"]["gt_mask"] = np.ones((oh, ow), np.uint8)
+            s["meta"]["im_size"] = (oh, ow)
+            return s
+
+    tr.ds_val = HeteroVal(tr.ds)
+    res = tr.compute_pq(max_batches=1, count_th=4)
+    assert set(res) >= {"pq", "sq", "rq"}
+    assert np.isfinite(res["pq"])
