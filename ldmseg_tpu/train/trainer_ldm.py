@@ -476,6 +476,7 @@ class TrainerDiffusion:
         loader = make_loader(self.ds, self.batch_size, seed=seed)
         max_steps = max_steps or self.train_num_steps
         meter = AverageMeter("loss", ":.4f")
+        pending = []  # device losses; drained at log time (no per-step sync)
         key = jax.random.key(seed)
         step = int(self.state.step) if self.state is not None else 0
         epoch = 0
@@ -491,9 +492,11 @@ class TrainerDiffusion:
                 step += 1
                 if vis_every and step % vis_every == 0:
                     self.log_images_train(batch, pred_x0, step)
+                pending.append(metrics["loss"])
                 if step % log_every == 0:
-                    meter.update(float(jax.device_get(metrics["loss"])),
-                                 self.batch_size)
+                    for v in jax.device_get(pending):
+                        meter.update(float(v), self.batch_size)
+                    pending.clear()
                     ProgressMeter(max_steps, [meter],
                                   prefix=f"Epoch [{epoch}]").display(step)
                     self.metrics.log(step, loss=meter.val)
