@@ -68,6 +68,7 @@ class UNetConfig:
     freq_shift: float = 0.0
     use_pallas_gn: bool = False  # fused Pallas GroupNorm+SiLU in resnets
     use_fused_attention: bool = False  # Pallas VMEM-softmax self-attn
+    use_packed_attention: bool = False  # [B,T,C]-layout Pallas self-attn
     use_int8_conv: bool = False  # int8 MXU fast path for resnet 3x3 convs
     use_int8_attention: bool = False  # s8 matmuls inside the attn kernel
     int8_act_scale: Optional[float] = None  # static act scale for int8
@@ -86,6 +87,7 @@ class CrossAttention(nn.Module):
     context_dim: Optional[int] = None
     use_fused: bool = False
     int8: bool = False
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -96,6 +98,13 @@ class CrossAttention(nn.Module):
         q = nn.Dense(inner, use_bias=False, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, name="to_k")(context)
         v = nn.Dense(inner, use_bias=False, name="to_v")(context)
+        if self.packed and is_self:
+            # layout-preserving kernel on the native [B, T, C] tensors —
+            # no head transposes, no layout constraints on the graph
+            from ..ops.pallas.attention import fused_self_attention_packed
+            out = fused_self_attention_packed(q, k, v, self.heads,
+                                              head_dim**-0.5)
+            return nn.Dense(inner, name="to_out")(out)
         b, tq, _ = q.shape
         tk = k.shape[1]
         q = q.reshape(b, tq, self.heads, head_dim)
@@ -134,6 +143,7 @@ class BasicTransformerBlock(nn.Module):
     use_cross_attention: bool = True
     use_fused_attention: bool = False
     int8_attention: bool = False
+    packed_attention: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -141,6 +151,7 @@ class BasicTransformerBlock(nn.Module):
         x = x + CrossAttention(self.dim, self.heads,
                                use_fused=self.use_fused_attention,
                                int8=self.int8_attention,
+                               packed=self.packed_attention,
                                name="attn1")(h)
         if self.use_cross_attention:
             h = nn.LayerNorm(name="norm2")(x)
@@ -163,6 +174,7 @@ class Transformer2D(nn.Module):
     use_cross_attention: bool = True
     use_fused_attention: bool = False
     int8_attention: bool = False
+    packed_attention: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -178,6 +190,7 @@ class Transformer2D(nn.Module):
                 use_cross_attention=self.use_cross_attention,
                 use_fused_attention=self.use_fused_attention,
                 int8_attention=self.int8_attention,
+                packed_attention=self.packed_attention,
                 name=f"block{i}")(y, context)
         y = y.reshape(b, h, w, self.channels)
         y = nn.Conv(self.channels, (1, 1), name="proj_out")(y)
@@ -232,6 +245,7 @@ class DownBlock(nn.Module):
     use_pallas_gn: bool = False
     use_fused_attention: bool = False
     int8_attention: bool = False
+    packed_attention: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_fuse_gn: bool = False
@@ -253,6 +267,7 @@ class DownBlock(nn.Module):
                                   use_cross_attention=self.use_cross_attention,
                                   use_fused_attention=self.use_fused_attention,
                                   int8_attention=self.int8_attention,
+                                  packed_attention=self.packed_attention,
                                   name=f"attn{i}")(x, context)
             res_outputs.append(x)
         if self.add_downsample:
@@ -274,6 +289,7 @@ class UpBlock(nn.Module):
     use_pallas_gn: bool = False
     use_fused_attention: bool = False
     int8_attention: bool = False
+    packed_attention: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_fuse_gn: bool = False
@@ -299,6 +315,7 @@ class UpBlock(nn.Module):
                                   use_cross_attention=self.use_cross_attention,
                                   use_fused_attention=self.use_fused_attention,
                                   int8_attention=self.int8_attention,
+                                  packed_attention=self.packed_attention,
                                   name=f"attn{i}")(x, context)
         if self.add_upsample:
             x = Upsample(self.out_channels, name="upsample")(
@@ -316,6 +333,7 @@ class MidBlockCrossAttn(nn.Module):
     use_pallas_gn: bool = False
     use_fused_attention: bool = False
     int8_attention: bool = False
+    packed_attention: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_fuse_gn: bool = False
@@ -333,6 +351,7 @@ class MidBlockCrossAttn(nn.Module):
                           use_cross_attention=self.use_cross_attention,
                           use_fused_attention=self.use_fused_attention,
                           int8_attention=self.int8_attention,
+                          packed_attention=self.packed_attention,
                           name="attn")(x, context)
         x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
                         use_pallas_gn=self.use_pallas_gn,
@@ -453,6 +472,7 @@ class UNet2DCondition(nn.Module):
                     int8_fuse_gn=cfg.int8_fuse_gn,
                     use_fused_attention=cfg.use_fused_attention,
                     int8_attention=cfg.use_int8_attention,
+                    packed_attention=cfg.use_packed_attention,
                     name=f"down_blocks_img{i}")(x_img, emb_img, context)
                 if cfg.add_adaptor:
                     res = [nn.Conv(r.shape[-1], (3, 3), padding=1,
@@ -490,6 +510,7 @@ class UNet2DCondition(nn.Module):
                 int8_fuse_gn=cfg.int8_fuse_gn,
                 use_fused_attention=cfg.use_fused_attention,
                 int8_attention=cfg.use_int8_attention,
+                packed_attention=cfg.use_packed_attention,
                 name=f"down_blocks{i}")(x, emb, context)
             res_stack.extend(res)
 
@@ -508,6 +529,7 @@ class UNet2DCondition(nn.Module):
             int8_fuse_gn=cfg.int8_fuse_gn,
             use_fused_attention=cfg.use_fused_attention,
             int8_attention=cfg.use_int8_attention,
+            packed_attention=cfg.use_packed_attention,
             name="mid_block")(x, emb, context)
 
         # 6. up blocks (:400-425)
@@ -533,6 +555,7 @@ class UNet2DCondition(nn.Module):
                 int8_fuse_gn=cfg.int8_fuse_gn,
                 use_fused_attention=cfg.use_fused_attention,
                 int8_attention=cfg.use_int8_attention,
+                packed_attention=cfg.use_packed_attention,
                 upsample_size=upsample_size,
                 name=f"up_blocks{i}")(x, res_samples, emb, context)
 

@@ -67,3 +67,34 @@ def test_int8_param_tree_identical():
     t_bf = jax.tree_util.tree_structure(p_bf)
     t_i8 = jax.tree_util.tree_structure(p_i8)
     assert t_bf == t_i8
+
+
+def test_prequantized_weights_match_in_graph_quant():
+    """prequantize_conv_tree must be bit-identical to the in-graph weight
+    quantization (same math, hoisted out of the sampling scan)."""
+    from ldmseg_tpu.ops.quant import prequantize_conv_tree
+    u_i8 = UNet2DCondition(config=UNetConfig(
+        **BASE, use_int8_conv=True, int8_fuse_gn=True))
+    params = u_i8.init(jax.random.key(0), jnp.zeros((1, 8, 16, 8)),
+                       jnp.zeros((1,), jnp.int32))
+    x = jax.random.normal(jax.random.key(1), (2, 8, 16, 8))
+    t = jnp.array([3, 7], jnp.int32)
+    y0 = np.asarray(u_i8.apply(params, x, t))
+    y1 = np.asarray(u_i8.apply(prequantize_conv_tree(params), x, t))
+    np.testing.assert_array_equal(y0, y1)
+
+
+def test_prequantize_targets_only_resnet_convs():
+    from ldmseg_tpu.ops.quant import prequantize_conv_tree
+    u = UNet2DCondition(config=UNetConfig(**BASE, use_int8_conv=True))
+    params = u.init(jax.random.key(0), jnp.zeros((1, 8, 16, 8)),
+                    jnp.zeros((1,), jnp.int32))
+    pq = prequantize_conv_tree(params)
+    flat = jax.tree_util.tree_flatten_with_path(pq)[0]
+    q_paths = [jax.tree_util.keystr(k) for k, v in flat
+               if getattr(v, "dtype", None) == jnp.int8]
+    assert q_paths, "no kernels were quantized"
+    assert all("conv1" in p or "conv2" in p for p in q_paths)
+    # conv_in / shortcuts / attention projections stay bf16/f32
+    assert not any("conv_in" in p or "shortcut" in p or "to_q" in p
+                   for p in q_paths)

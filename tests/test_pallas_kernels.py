@@ -228,3 +228,65 @@ def ref_conv(x, w, pad):
         x, w, (1, 1), pad,
         dimension_numbers=jax.lax.conv_dimension_numbers(
             x.shape, w.shape, ("NHWC", "HWIO", "NHWC")))
+
+
+def test_packed_attention_kernel_interpret_mode():
+    """[B,T,C]-layout kernel: per-head one-hot selection matmuls must
+    reproduce the reference multi-head attention exactly."""
+    import functools
+    from ldmseg_tpu.ops.pallas.attention import _attn_kernel_btc, _xla_btc
+    b, t, heads, d = 2, 64, 4, 8
+    c = heads * d
+    q = jax.random.normal(jax.random.key(0), (b, t, c), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (b, t, c), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (b, t, c), jnp.float32)
+    scale = d**-0.5
+    spec = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_btc, heads=heads, scale=scale),
+        grid=(b,), in_specs=[spec, spec, spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=True)(q, k, v)
+    ref = _xla_btc(q, k, v, heads, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_packed_attention_dispatch_and_grad():
+    """Public dispatch falls back to XLA off-TPU and under grad; both
+    must match the reference and produce finite gradients."""
+    from ldmseg_tpu.ops.pallas.attention import (
+        fused_self_attention_packed, _xla_btc)
+    b, t, heads, d = 1, 16, 2, 8
+    c = heads * d
+    q = jax.random.normal(jax.random.key(0), (b, t, c), jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (b, t, c), jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (b, t, c), jnp.float32)
+    scale = d**-0.5
+    out = fused_self_attention_packed(q, k, v, heads, scale)
+    ref = _xla_btc(q, k, v, heads, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+    g = jax.grad(lambda a: fused_self_attention_packed(
+        a, k, v, heads, scale).sum())(q)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_unet_packed_attention_builds():
+    """UNet with use_packed_attention compiles on CPU (XLA fallback) and
+    matches the plain-attention UNet numerically."""
+    from ldmseg_tpu.models import UNet2DCondition, UNetConfig
+    base = dict(in_channels=4, block_out_channels=(32, 64),
+                layers_per_block=1, attn_down=(True, True),
+                attention_head_dim=2, norm_num_groups=8,
+                use_cross_attention=False)
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
+    t = jnp.array([3, 7], jnp.int32)
+    u0 = UNet2DCondition(config=UNetConfig(**base))
+    u1 = UNet2DCondition(config=UNetConfig(**base,
+                                           use_packed_attention=True))
+    p = u0.init(jax.random.key(0), x, t)
+    y0 = u0.apply(p, x, t)
+    y1 = u1.apply(p, x, t)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=2e-5,
+                               atol=2e-5)
