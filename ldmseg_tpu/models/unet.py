@@ -112,9 +112,14 @@ class CrossAttention(nn.Module):
         v = v.reshape(b, tk, self.heads, head_dim)
         scale = head_dim**-0.5
         if self.use_fused and is_self:
-            from ..ops.pallas.attention import fused_self_attention
-            out = fused_self_attention(q, k, v, scale,
-                                       int8=self.int8).reshape(b, tq, inner)
+            if self.int8:
+                # s8 MXU path, quantization fused into the projections
+                from ..ops.pallas.attention import fused_self_attention_s8
+                out = fused_self_attention_s8(q, k, v, scale)
+            else:
+                from ..ops.pallas.attention import fused_self_attention
+                out = fused_self_attention(q, k, v, scale)
+            out = out.reshape(b, tq, inner)
             return nn.Dense(inner, name="to_out")(out)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)

@@ -23,15 +23,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                 int8: bool = False):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0]                       # [BQ, D]
     k = k_ref[0]                       # [T, D]
     v = v_ref[0]
-    if int8:
-        _attn_body_int8(q, k, v, o_ref, scale)
-    else:
-        _attn_body(q, k, v, o_ref, scale)
+    _attn_body(q, k, v, o_ref, scale)
 
 
 def _attn_body(q, k, v, o_ref, scale):
@@ -46,33 +42,86 @@ def _attn_body(q, k, v, o_ref, scale):
     o_ref[...] = o.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
-def _attn_body_int8(q, k, v, o_ref, scale):
-    """Same math with both matmuls on the s8 MXU path (2x the bf16 rate
-    on v5e). Quantization happens on VMEM-resident blocks — unlike the
-    XLA-graph int8 path there is no extra HBM sweep for the amax. Scales
-    are per-block scalars; the softmax keeps f32."""
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    qs = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-6) / 127.0
-    ks = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-6) / 127.0
-    q8 = jnp.round(qf / qs).astype(jnp.int8)
-    k8 = jnp.round(kf / ks).astype(jnp.int8)
+def _attn_kernel_s8(q_ref, k_ref, v_ref, sc_ref, o_ref):
+    """Pre-quantized s8 attention: q/k/v arrive as int8 (quantized in the
+    producing Dense epilogues, where XLA fuses the round/clip/convert for
+    free), so the kernel runs both matmuls on the s8 MXU path (2x bf16
+    rate on v5e) with NO in-kernel quantization sweeps — the failure mode
+    of the first int8 kernel (_attn_body_int8), which spent more VPU time
+    quantizing VMEM blocks than the MXU saved. Scales ride in a tiny VMEM
+    tile: sc[0,0] = q_scale*k_scale*softmax_scale, sc[0,1] = v_scale/127
+    (p is quantized with the static scale 1/127 — softmax output is in
+    [0,1] by construction)."""
+    q = q_ref[0]                       # [BQ, D] int8
+    k = k_ref[0]                       # [T, D] int8
+    v = v_ref[0]
     s32 = jax.lax.dot_general(
-        q8, k8, (((1,), (1,)), ((), ())),
+        q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)                # [BQ, T]
-    s = s32.astype(jnp.float32) * (qs * ks * scale)
+    s = s32.astype(jnp.float32) * sc_ref[0, 0]
     s = s - jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    # p in [0, pmax]: dynamic per-block scale keeps diffuse rows accurate
-    ps = jnp.maximum(jnp.max(p), 1e-6) / 127.0
-    p8 = jnp.round(p / ps).astype(jnp.int8)
-    vf = v.astype(jnp.float32)
-    vs = jnp.maximum(jnp.max(jnp.abs(vf)), 1e-6) / 127.0
-    v8 = jnp.round(vf / vs).astype(jnp.int8)
-    o32 = jnp.dot(p8, v8, preferred_element_type=jnp.int32)
-    o = o32.astype(jnp.float32) * (ps * vs)
+    e = jnp.exp(s)                                       # rowmax(e) == 1
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    # quantize the UNNORMALIZED exp (always spans (0, 1], so the static
+    # 127 scale is exact-range) and normalize after the matmul — a static
+    # scale on softmax output itself collapses diffuse rows to 1-2 codes
+    e8 = jnp.round(e * 127.0).astype(jnp.int8)
+    o32 = jax.lax.dot_general(
+        e8, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                # [BQ, D]
+    o = o32.astype(jnp.float32) * (sc_ref[0, 1] / denom)
     o_ref[...] = o.reshape(o_ref.shape).astype(o_ref.dtype)
+
+
+def _fused_impl_s8(q8, k8, v8, sc, block_q):
+    bh, t, d = q8.shape
+    block_q = min(block_q, t)
+    grid = (bh, t // block_q)
+    return pl.pallas_call(
+        _attn_kernel_s8,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q8.shape, jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(q8, k8, v8, sc)
+
+
+def fused_self_attention_s8(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: float, block_q: int = 1024, max_seq: int = 4096,
+) -> jnp.ndarray:
+    """s8-MXU self-attention, inputs ``[B, T, H, Dh]`` float. Per-tensor
+    dynamic amax quantization of q/k/v happens OUTSIDE the pallas call so
+    XLA fuses it into the producing projections; inference-only (no VJP —
+    guard with ``jax.lax.stop_gradient`` upstream or train via the bf16
+    path)."""
+    b, t, h, dh = q.shape
+    if (t > max_seq or t % min(block_q, t) != 0
+            or jax.default_backend() == "cpu"):  # no compiled pallas on CPU
+        return _xla_bthd(q, k, v, scale)
+    qs = jnp.maximum(jnp.max(jnp.abs(q)), 1e-6).astype(jnp.float32) / 127.0
+    ks = jnp.maximum(jnp.max(jnp.abs(k)), 1e-6).astype(jnp.float32) / 127.0
+    vs = jnp.maximum(jnp.max(jnp.abs(v)), 1e-6).astype(jnp.float32) / 127.0
+    quant = lambda x, s: jnp.clip(  # noqa: E731
+        jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    flat = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, dh)  # noqa
+    sc = jnp.zeros((8, 128), jnp.float32)
+    sc = sc.at[0, 0].set(qs * ks * scale).at[0, 1].set(vs / 127.0)
+    out = _fused_impl_s8(flat(quant(q, qs)), flat(quant(k, ks)),
+                         flat(quant(v, vs)), sc, min(block_q, t))
+    return out.reshape(b, h, t, dh).transpose(0, 2, 1, 3).astype(q.dtype)
 
 
 def _attn_kernel_bthd(q_ref, k_ref, v_ref, o_ref, *, scale: float):
@@ -84,12 +133,12 @@ def _attn_kernel_bthd(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     _attn_body(q, k, v, o_ref, scale)
 
 
-def _fused_impl(q, k, v, scale, block_q, int8=False):
+def _fused_impl(q, k, v, scale, block_q):
     bh, t, d = q.shape
     block_q = min(block_q, t)
     grid = (bh, t // block_q)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, int8=int8),
+        functools.partial(_attn_kernel, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
@@ -113,16 +162,16 @@ def _xla_reference(q, k, v, scale):
     return jnp.einsum("bqk,bkd->bqd", p, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _fused_self_attention_flat(q, k, v, scale, block_q, int8=False):
-    return _fused_impl(q, k, v, scale, block_q, int8)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_self_attention_flat(q, k, v, scale, block_q):
+    return _fused_impl(q, k, v, scale, block_q)
 
 
-def _fwd(q, k, v, scale, block_q, int8=False):
-    return _fused_impl(q, k, v, scale, block_q, int8), (q, k, v)
+def _fwd(q, k, v, scale, block_q):
+    return _fused_impl(q, k, v, scale, block_q), (q, k, v)
 
 
-def _bwd(scale, block_q, int8, res, g):
+def _bwd(scale, block_q, res, g):
     q, k, v = res
     _, vjp = jax.vjp(lambda a, b, c: _xla_reference(a, b, c, scale),
                      q, k, v)
@@ -285,7 +334,6 @@ def fused_self_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale: float, block_q: int = 1024,
     max_seq: int = 4096,
-    int8: bool = False,
 ) -> jnp.ndarray:
     """Multi-head self-attention, inputs ``[B, T, H, Dh]`` (the UNet's
     layout before the einsum). Falls back to XLA when the sequence is too
@@ -301,5 +349,5 @@ def fused_self_attention(
         return _xla_bthd(q, k, v, scale)
     flat = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, dh)  # noqa
     out = _fused_self_attention_flat(flat(q), flat(k), flat(v), scale,
-                                     min(block_q, t), int8)
+                                     min(block_q, t))
     return out.reshape(b, h, t, dh).transpose(0, 2, 1, 3)
