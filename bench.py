@@ -29,8 +29,14 @@ def main():
     lh, lw = h // 8, w // 8
     dtype = jnp.bfloat16
 
+    # inference config: s8 resnet convs (static act scale, weights
+    # pre-quantized outside the scan) + s8 attention. Accuracy-gated in
+    # tests/test_int8_inference.py (sampling corr >0.999 vs bf16 at the
+    # bench shapes, see BENCH_NOTES.md round-2 table).
     unet_cfg = UNetConfig(in_channels=8, use_cross_attention=False,
-                          use_fused_attention=True)
+                          use_fused_attention=True,
+                          use_int8_conv=True, int8_act_scale=0.05,
+                          use_int8_attention=True)
     unet = UNet2DCondition(config=unet_cfg)
     vae_img = ImageVAE(decoder_enabled=False, use_fused_attention=True)
     vae_seg = SegVAE(in_channels=16, out_channels=128, num_upscalers=2)
@@ -52,6 +58,12 @@ def main():
         and x.dtype == jnp.float32 else x, t)
     unet_params, img_params, seg_params = (
         cast(unet_params), cast(img_params), cast(seg_params))
+    # quantize conv weights ONCE, outside the sampling scan (XLA does not
+    # hoist the in-graph weight quantization out of the 50-step loop);
+    # training below keeps the bf16 tree
+    from ldmseg_tpu.ops.quant import prequantize_conv_tree
+    unet_params_bf = unet_params
+    unet_params = jax.jit(prequantize_conv_tree)(unet_params)
 
     sched = make_ddim_schedule(
         beta_schedule="scaled_linear", beta_start=0.00085, beta_end=0.012,
@@ -93,8 +105,8 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     fps = batch / dt
 
-    train_sps = _train_throughput(jax, jnp, unet, unet_params, batch, lh, lw,
-                                  dtype, sched)
+    train_sps = _train_throughput(jax, jnp, unet, unet_params_bf, batch,
+                                  lh, lw, dtype, sched)
 
     baseline = 8.0  # north-star frames/s/chip (BASELINE.json)
     print(json.dumps({

@@ -30,11 +30,15 @@ class DownEncoderBlock(nn.Module):
     num_layers: int = 2
     add_downsample: bool = True
     groups: int = 32
+    use_int8: bool = False
+    int8_act_scale: float | None = None
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers):
             x = ResnetBlock(self.out_channels, groups=self.groups, eps=1e-6,
+                            use_int8=self.use_int8,
+                            int8_act_scale=self.int8_act_scale,
                             name=f"resnet{i}")(x)
         if self.add_downsample:
             # diffusers VAE downsample: asymmetric (0,1) pad + stride-2 conv
@@ -68,6 +72,8 @@ class VAEEncoder(nn.Module):
     layers_per_block: int = 2
     groups: int = 32
     use_fused_attention: bool = False
+    use_int8: bool = False  # s8 MXU resnet convs (inference-only)
+    int8_act_scale: float | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -77,13 +83,20 @@ class VAEEncoder(nn.Module):
             x = DownEncoderBlock(
                 cout, self.layers_per_block,
                 add_downsample=i < len(self.block_out_channels) - 1,
-                groups=self.groups, name=f"down{i}")(x)
+                groups=self.groups, use_int8=self.use_int8,
+                int8_act_scale=self.int8_act_scale, name=f"down{i}")(x)
         c = self.block_out_channels[-1]
-        x = ResnetBlock(c, groups=self.groups, eps=1e-6, name="mid_resnet0")(x)
+        x = ResnetBlock(c, groups=self.groups, eps=1e-6,
+                        use_int8=self.use_int8,
+                        int8_act_scale=self.int8_act_scale,
+                        name="mid_resnet0")(x)
         x = AttentionBlock2D(c, groups=self.groups, eps=1e-6,
                              use_fused=self.use_fused_attention,
                              name="mid_attn")(x)
-        x = ResnetBlock(c, groups=self.groups, eps=1e-6, name="mid_resnet1")(x)
+        x = ResnetBlock(c, groups=self.groups, eps=1e-6,
+                        use_int8=self.use_int8,
+                        int8_act_scale=self.int8_act_scale,
+                        name="mid_resnet1")(x)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          name="norm_out")(x)
         x = nn.silu(x)
@@ -135,11 +148,15 @@ class ImageVAE(nn.Module):
     scaling_factor: float = 0.18215
     decoder_enabled: bool = True
     use_fused_attention: bool = False
+    use_int8: bool = False  # s8 MXU encoder resnet convs (inference-only)
+    int8_act_scale: float | None = None
 
     def setup(self):
         self.encoder = VAEEncoder(
             self.block_out_channels, self.latent_channels,
-            use_fused_attention=self.use_fused_attention, name="encoder")
+            use_fused_attention=self.use_fused_attention,
+            use_int8=self.use_int8, int8_act_scale=self.int8_act_scale,
+            name="encoder")
         self.quant_conv = nn.Conv(2 * self.latent_channels, (1, 1),
                                   name="quant_conv")
         if self.decoder_enabled:

@@ -99,11 +99,17 @@ class CrossAttention(nn.Module):
         k = nn.Dense(inner, use_bias=False, name="to_k")(context)
         v = nn.Dense(inner, use_bias=False, name="to_v")(context)
         if self.packed and is_self:
-            # layout-preserving kernel on the native [B, T, C] tensors —
+            # layout-preserving kernels on the native [B, T, C] tensors —
             # no head transposes, no layout constraints on the graph
-            from ..ops.pallas.attention import fused_self_attention_packed
-            out = fused_self_attention_packed(q, k, v, self.heads,
-                                              head_dim**-0.5)
+            if self.int8:
+                from ..ops.pallas.attention import (
+                    fused_self_attention_packed_s8)
+                out = fused_self_attention_packed_s8(q, k, v, self.heads,
+                                                     head_dim**-0.5)
+            else:
+                from ..ops.pallas.attention import fused_self_attention_packed
+                out = fused_self_attention_packed(q, k, v, self.heads,
+                                                  head_dim**-0.5)
             return nn.Dense(inner, name="to_out")(out)
         b, tq, _ = q.shape
         tk = k.shape[1]

@@ -124,6 +124,99 @@ def fused_self_attention_s8(
     return out.reshape(b, h, t, dh).transpose(0, 2, 1, 3).astype(q.dtype)
 
 
+def _attn_kernel_btc_s8(q_ref, k_ref, v_ref, sc_ref, o_ref, *,
+                        heads: int):
+    """Packed [B,T,C] layout AND s8 MXU: q/k/v arrive int8 in the native
+    token layout; heads are extracted with one-hot s8 selection matmuls
+    (exact — the one-hot entries are ±1 codes), scores and PV run s8 at
+    2x the bf16 MXU rate, and the unnormalized-exp trick from
+    :func:`_attn_kernel_s8` keeps the probability quantization accurate.
+    Combines the layout win of ``_attn_kernel_btc`` (no transposes, no
+    custom-call layout constraints leaking into the surrounding graph)
+    with the throughput win of the s8 path."""
+    q = q_ref[0]                       # [T, C] int8
+    k = k_ref[0]
+    v = v_ref[0]
+    t, c = q.shape
+    d = c // heads
+    dp = ((d + 127) // 128) * 128
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, dp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, dp), 1)
+
+    acc = jnp.zeros((t, c), jnp.float32)
+    for h in range(heads):
+        sel = ((row == h * d + col) & (col < d)).astype(jnp.int8)
+        qh = jax.lax.dot_general(
+            q, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.int8)
+        kh = jax.lax.dot_general(
+            k, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.int8)
+        vh = jax.lax.dot_general(
+            v, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.int8)
+        s32 = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)             # [T, T]
+        s = s32.astype(jnp.float32) * sc_ref[0, 0]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        e8 = jnp.round(e * 127.0).astype(jnp.int8)
+        o32 = jax.lax.dot_general(
+            e8, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)             # [T, Dp]
+        oh = o32.astype(jnp.float32) * (sc_ref[0, 1] / denom)
+        acc = acc + jax.lax.dot_general(
+            oh.astype(jnp.bfloat16), sel.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [T, C]
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _packed_s8_impl(q8, k8, v8, sc, heads):
+    b, t, c = q8.shape
+    spec = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_btc_s8, heads=heads),
+        grid=(b,),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((8, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q8.shape, jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(q8, k8, v8, sc)
+
+
+def fused_self_attention_packed_s8(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    heads: int, scale: float, max_seq: int = 2048,
+) -> jnp.ndarray:
+    """s8 multi-head self-attention on the packed ``[B, T, C]`` layout.
+    Quantization of q/k/v happens outside the kernel (fused into the
+    producing projections); inference-only."""
+    b, t, c = q.shape
+    if (t > max_seq or t % 8 != 0 or c % heads != 0
+            or jax.default_backend() == "cpu"):
+        return _xla_btc(q, k, v, heads, scale)
+    d = c // heads
+    qs = jnp.maximum(jnp.max(jnp.abs(q)), 1e-6).astype(jnp.float32) / 127.0
+    ks = jnp.maximum(jnp.max(jnp.abs(k)), 1e-6).astype(jnp.float32) / 127.0
+    vs = jnp.maximum(jnp.max(jnp.abs(v)), 1e-6).astype(jnp.float32) / 127.0
+    quant = lambda x, s: jnp.clip(  # noqa: E731
+        jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    sc = jnp.zeros((8, 128), jnp.float32)
+    sc = sc.at[0, 0].set(qs * ks * (d ** -0.5 if scale is None else scale))
+    sc = sc.at[0, 1].set(vs / 127.0)
+    out = _packed_s8_impl(quant(q, qs), quant(k, ks), quant(v, vs), sc,
+                          heads)
+    return out.astype(q.dtype)
+
+
 def _attn_kernel_bthd(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     """Blocks taken directly from the [B, T, H, D] layout (no host-side
     transpose): q [1, BQ, 1, D], k/v [1, T, 1, D]."""
