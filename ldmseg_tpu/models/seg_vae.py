@@ -383,8 +383,13 @@ class SegVAE(nn.Module):
         x = self.decoder(z)
         f = self.interpolation_factor
         if interpolate and f != 1:
-            b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, h * f, w * f, c), "linear")
+            if f == 2:
+                # gather-free fast path (exact same half-pixel bilinear)
+                from ..ops.resize import bilinear_upsample_2x
+                x = bilinear_upsample_2x(x)
+            else:
+                b, h, w, c = x.shape
+                x = jax.image.resize(x, (b, h * f, w * f, c), "linear")
         return x
 
     def __call__(

@@ -210,9 +210,15 @@ class Transformer2D(nn.Module):
 
 class Downsample(nn.Module):
     channels: int
+    use_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.use_int8:
+            # residual-stream input: dynamic per-tensor amax scale
+            from ..ops.quant import QuantConv
+            return QuantConv(self.channels, (3, 3), strides=(2, 2),
+                             padding=1, name="conv")(x)
         return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=1,
                        name="conv")(x)
 
@@ -228,6 +234,7 @@ def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 class Upsample(nn.Module):
     channels: int
+    use_int8: bool = False
 
     @nn.compact
     def __call__(self, x, target_hw=None):
@@ -240,6 +247,10 @@ class Upsample(nn.Module):
                 x, (b, target_hw[0], target_hw[1], c), "nearest")
         else:
             x = nearest_upsample_2x(x)
+        if self.use_int8:
+            from ..ops.quant import QuantConv
+            return QuantConv(self.channels, (3, 3), padding=1,
+                             name="conv")(x)
         return nn.Conv(self.channels, (3, 3), padding=1, name="conv")(x)
 
 
@@ -282,7 +293,8 @@ class DownBlock(nn.Module):
                                   name=f"attn{i}")(x, context)
             res_outputs.append(x)
         if self.add_downsample:
-            x = Downsample(self.out_channels, name="downsample")(x)
+            x = Downsample(self.out_channels, use_int8=self.use_int8,
+                           name="downsample")(x)
             res_outputs.append(x)
         return x, res_outputs
 
@@ -329,7 +341,8 @@ class UpBlock(nn.Module):
                                   packed_attention=self.packed_attention,
                                   name=f"attn{i}")(x, context)
         if self.add_upsample:
-            x = Upsample(self.out_channels, name="upsample")(
+            x = Upsample(self.out_channels, use_int8=self.use_int8,
+                         name="upsample")(
                 x, target_hw=self.upsample_size)
         return x
 

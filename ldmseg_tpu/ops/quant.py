@@ -129,6 +129,14 @@ def prequantize_conv_tree(params):
                     and getattr(v["kernel"], "ndim", 0) == 4):
                 q, s = quantize_weight(v["kernel"])
                 out[k] = dict(v, kernel={"q": q, "scale": s})
+            elif (k in ("downsample", "upsample") and isinstance(v, dict)
+                    and isinstance(v.get("conv"), dict)
+                    and "kernel" in v["conv"]
+                    and getattr(v["conv"]["kernel"], "ndim", 0) == 4):
+                # UNet Down/Upsample QuantConv (models/unet.py)
+                q, s = quantize_weight(v["conv"]["kernel"])
+                out[k] = dict(v, conv=dict(v["conv"],
+                                           kernel={"q": q, "scale": s}))
             else:
                 out[k] = walk(v)
         return out
@@ -137,9 +145,13 @@ def prequantize_conv_tree(params):
 
 
 def _int8_conv_wq(x, w_q, w_scale, strides, padding, act_scale,
-                  out_dtype=jnp.bfloat16):
+                  out_dtype=None):
     """Conv with PRE-quantized weights; activation quantized in-graph
-    (static scale when given, else dynamic amax). Inference-only."""
+    (static scale when given, else dynamic amax). Inference-only.
+    Matches :func:`int8_conv` bit-for-bit (incl. output dtype = x.dtype)
+    so flipping a tree through ``prequantize_conv_tree`` is a no-op
+    numerically."""
+    out_dtype = x.dtype if out_dtype is None else out_dtype
     x_f = x.astype(jnp.float32)
     if act_scale is None:
         x_absmax = jnp.max(jnp.abs(x_f))

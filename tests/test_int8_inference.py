@@ -94,7 +94,49 @@ def test_prequantize_targets_only_resnet_convs():
     q_paths = [jax.tree_util.keystr(k) for k, v in flat
                if getattr(v, "dtype", None) == jnp.int8]
     assert q_paths, "no kernels were quantized"
-    assert all("conv1" in p or "conv2" in p for p in q_paths)
+    assert all(any(t in p for t in
+                   ("conv1", "conv2", "downsample", "upsample"))
+               for p in q_paths)
     # conv_in / shortcuts / attention projections stay bf16/f32
     assert not any("conv_in" in p or "shortcut" in p or "to_q" in p
                    for p in q_paths)
+
+
+def test_prequantize_covers_down_up_convs():
+    """use_int8_conv also routes Down/Upsample convs through QuantConv;
+    prequantize must target them and keep accuracy."""
+    from ldmseg_tpu.ops.quant import prequantize_conv_tree
+    ub = UNet2DCondition(config=UNetConfig(**BASE))
+    ui = UNet2DCondition(config=UNetConfig(**BASE, use_int8_conv=True))
+    p = ub.init(jax.random.key(0), jnp.zeros((1, 8, 16, 8)),
+                jnp.zeros((1,), jnp.int32))
+    pq = prequantize_conv_tree(p)
+    flat = jax.tree_util.tree_flatten_with_path(pq)[0]
+    qp = [jax.tree_util.keystr(k) for k, v in flat
+          if getattr(v, "dtype", None) == jnp.int8]
+    assert any("downsample" in s for s in qp)
+    assert any("upsample" in s for s in qp)
+    x = jax.random.normal(jax.random.key(1), (2, 8, 16, 8))
+    t = jnp.array([3, 7], jnp.int32)
+    yb = np.asarray(ub.apply(p, x, t), np.float32)
+    yi = np.asarray(ui.apply(pq, x, t), np.float32)
+    corr = np.corrcoef(yb.ravel(), yi.ravel())[0, 1]
+    assert np.isfinite(yi).all() and corr > 0.995, corr
+
+
+def test_image_vae_int8_encoder():
+    """ImageVAE.encode with use_int8 tracks the bf16 encoder."""
+    from ldmseg_tpu.models import ImageVAE
+    from ldmseg_tpu.ops.quant import prequantize_conv_tree
+    import functools
+    kw = dict(block_out_channels=(32, 64), decoder_enabled=False)
+    vb = ImageVAE(**kw)
+    vi = ImageVAE(**kw, use_int8=True, int8_act_scale=0.05)
+    x = jax.random.normal(jax.random.key(1), (2, 32, 64, 3))
+    p = vb.init(jax.random.key(0), x, method=ImageVAE.encode)
+    enc = functools.partial(vb.apply, method=ImageVAE.encode)
+    yb = np.asarray(enc(p, x).mode(), np.float32)
+    yi = np.asarray(vi.apply(prequantize_conv_tree(p), x,
+                             method=ImageVAE.encode).mode(), np.float32)
+    corr = np.corrcoef(yb.ravel(), yi.ravel())[0, 1]
+    assert np.isfinite(yi).all() and corr > 0.99, corr

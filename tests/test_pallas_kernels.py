@@ -298,3 +298,14 @@ def test_unet_packed_attention_builds():
     y1 = u1.apply(p, x, t)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=2e-5,
                                atol=2e-5)
+
+
+def test_bilinear_upsample_2x_matches_resize():
+    """Gather-free 2x bilinear (ops/resize.py) must equal
+    jax.image.resize half-pixel bilinear exactly (SegVAE.decode path)."""
+    from ldmseg_tpu.ops.resize import bilinear_upsample_2x
+    x = jax.random.normal(jax.random.key(0), (2, 6, 10, 3))
+    ref = jax.image.resize(x, (2, 12, 20, 3), "linear")
+    out = bilinear_upsample_2x(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
