@@ -24,7 +24,7 @@ def main():
         SegVAE, ImageVAE, UNet2DCondition, UNetConfig)
     from ldmseg_tpu.diffusion import make_ddim_schedule, ddim_sample
 
-    # batch 16: with the int8 path the per-frame cost is ~10% lower than
+    # batch 16 (b24/b32 measured no better e2e): with the int8 path the per-frame cost is ~10% lower than
     # batch 8 (2.73 vs 3.04 ms/frame measured) — the s8 activations
     # halved the bandwidth pressure that made b16 lose in bf16
     batch = 16
@@ -39,6 +39,7 @@ def main():
     unet_cfg = UNetConfig(in_channels=8, use_cross_attention=False,
                           use_fused_attention=True,
                           use_int8_conv=True, int8_act_scale=0.05,
+                          use_int8_ff=True,
                           use_int8_attention=True)
     unet = UNet2DCondition(config=unet_cfg)
     vae_img = ImageVAE(decoder_enabled=False, use_fused_attention=True,
@@ -67,7 +68,8 @@ def main():
     # training below keeps the bf16 tree
     from ldmseg_tpu.ops.quant import prequantize_conv_tree
     unet_params_bf = unet_params
-    unet_params = jax.jit(prequantize_conv_tree)(unet_params)
+    unet_params = jax.jit(functools.partial(
+        prequantize_conv_tree, quantize_ff=True))(unet_params)
     img_params = jax.jit(prequantize_conv_tree)(img_params)
 
     sched = make_ddim_schedule(

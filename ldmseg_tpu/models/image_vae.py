@@ -42,8 +42,14 @@ class DownEncoderBlock(nn.Module):
                             name=f"resnet{i}")(x)
         if self.add_downsample:
             # diffusers VAE downsample: asymmetric (0,1) pad + stride-2 conv
-            x = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                        padding=((0, 1), (0, 1)), name="downsample")(x)
+            if self.use_int8:
+                from ..ops.quant import QuantConv
+                x = QuantConv(self.out_channels, (3, 3), strides=(2, 2),
+                              padding=((0, 1), (0, 1)),
+                              name="downsample")(x)
+            else:
+                x = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                            padding=((0, 1), (0, 1)), name="downsample")(x)
         return x
 
 

@@ -28,6 +28,7 @@ mutation):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -71,6 +72,7 @@ class UNetConfig:
     use_packed_attention: bool = False  # [B,T,C]-layout Pallas self-attn
     use_int8_conv: bool = False  # int8 MXU fast path for resnet 3x3 convs
     use_int8_attention: bool = False  # s8 matmuls inside the attn kernel
+    use_int8_ff: bool = False  # s8 transformer feed-forward matmuls
     int8_act_scale: Optional[float] = None  # static act scale for int8
     int8_fuse_gn: bool = False  # fused GN+quant pass (inference only)
     gradient_checkpointing: bool = False  # remat down/mid/up blocks
@@ -95,9 +97,16 @@ class CrossAttention(nn.Module):
         context = x if context is None else context
         inner = self.query_dim
         head_dim = inner // self.heads
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(context)
+        if self.int8:
+            # s8 projections to match the s8 attention kernel (the
+            # re-quantization roundtrip is covered by the accuracy gates)
+            from ..ops.quant import QuantDense
+            Dense = QuantDense
+        else:
+            Dense = nn.Dense
+        q = Dense(inner, use_bias=False, name="to_q")(x)
+        k = Dense(inner, use_bias=False, name="to_k")(context)
+        v = Dense(inner, use_bias=False, name="to_v")(context)
         if self.packed and is_self:
             # layout-preserving kernels on the native [B, T, C] tensors —
             # no head transposes, no layout constraints on the graph
@@ -110,7 +119,7 @@ class CrossAttention(nn.Module):
                 from ..ops.pallas.attention import fused_self_attention_packed
                 out = fused_self_attention_packed(q, k, v, self.heads,
                                                   head_dim**-0.5)
-            return nn.Dense(inner, name="to_out")(out)
+            return Dense(inner, name="to_out")(out)
         b, tq, _ = q.shape
         tk = k.shape[1]
         q = q.reshape(b, tq, self.heads, head_dim)
@@ -126,11 +135,11 @@ class CrossAttention(nn.Module):
                 from ..ops.pallas.attention import fused_self_attention
                 out = fused_self_attention(q, k, v, scale)
             out = out.reshape(b, tq, inner)
-            return nn.Dense(inner, name="to_out")(out)
+            return Dense(inner, name="to_out")(out)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, tq, inner)
-        return nn.Dense(inner, name="to_out")(out)
+        return Dense(inner, name="to_out")(out)
 
 
 class FeedForward(nn.Module):
@@ -138,13 +147,19 @@ class FeedForward(nn.Module):
 
     dim: int
     mult: int = 4
+    int8: bool = False  # s8 MXU matmuls (inference-only)
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim * self.mult * 2, name="proj_in")(x)
+        if self.int8:
+            from ..ops.quant import QuantDense
+            Dense = QuantDense
+        else:
+            Dense = nn.Dense
+        h = Dense(self.dim * self.mult * 2, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, name="proj_out")(h)
+        return Dense(self.dim, name="proj_out")(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -155,6 +170,7 @@ class BasicTransformerBlock(nn.Module):
     use_fused_attention: bool = False
     int8_attention: bool = False
     packed_attention: bool = False
+    int8_ff: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -170,7 +186,7 @@ class BasicTransformerBlock(nn.Module):
                                    context_dim=self.context_dim,
                                    name="attn2")(h, context)
         h = nn.LayerNorm(name="norm3")(x)
-        x = x + FeedForward(self.dim, name="ff")(h)
+        x = x + FeedForward(self.dim, int8=self.int8_ff, name="ff")(h)
         return x
 
 
@@ -186,6 +202,7 @@ class Transformer2D(nn.Module):
     use_fused_attention: bool = False
     int8_attention: bool = False
     packed_attention: bool = False
+    int8_ff: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -193,7 +210,12 @@ class Transformer2D(nn.Module):
         residual = x
         y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          name="norm")(x)
-        y = nn.Conv(self.channels, (1, 1), name="proj_in")(y)
+        if self.int8_attention:
+            from ..ops.quant import QuantConv
+            Proj = QuantConv
+        else:
+            Proj = functools.partial(nn.Conv, padding=0)
+        y = Proj(self.channels, (1, 1), name="proj_in")(y)
         y = y.reshape(b, h * w, self.channels)
         for i in range(self.depth):
             y = BasicTransformerBlock(
@@ -202,9 +224,10 @@ class Transformer2D(nn.Module):
                 use_fused_attention=self.use_fused_attention,
                 int8_attention=self.int8_attention,
                 packed_attention=self.packed_attention,
+                int8_ff=self.int8_ff,
                 name=f"block{i}")(y, context)
         y = y.reshape(b, h, w, self.channels)
-        y = nn.Conv(self.channels, (1, 1), name="proj_out")(y)
+        y = Proj(self.channels, (1, 1), name="proj_out")(y)
         return y + residual
 
 
@@ -268,6 +291,7 @@ class DownBlock(nn.Module):
     use_fused_attention: bool = False
     int8_attention: bool = False
     packed_attention: bool = False
+    int8_ff: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_fuse_gn: bool = False
@@ -290,6 +314,7 @@ class DownBlock(nn.Module):
                                   use_fused_attention=self.use_fused_attention,
                                   int8_attention=self.int8_attention,
                                   packed_attention=self.packed_attention,
+                                  int8_ff=self.int8_ff,
                                   name=f"attn{i}")(x, context)
             res_outputs.append(x)
         if self.add_downsample:
@@ -313,6 +338,7 @@ class UpBlock(nn.Module):
     use_fused_attention: bool = False
     int8_attention: bool = False
     packed_attention: bool = False
+    int8_ff: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_fuse_gn: bool = False
@@ -339,6 +365,7 @@ class UpBlock(nn.Module):
                                   use_fused_attention=self.use_fused_attention,
                                   int8_attention=self.int8_attention,
                                   packed_attention=self.packed_attention,
+                                  int8_ff=self.int8_ff,
                                   name=f"attn{i}")(x, context)
         if self.add_upsample:
             x = Upsample(self.out_channels, use_int8=self.use_int8,
@@ -358,6 +385,7 @@ class MidBlockCrossAttn(nn.Module):
     use_fused_attention: bool = False
     int8_attention: bool = False
     packed_attention: bool = False
+    int8_ff: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_fuse_gn: bool = False
@@ -376,6 +404,7 @@ class MidBlockCrossAttn(nn.Module):
                           use_fused_attention=self.use_fused_attention,
                           int8_attention=self.int8_attention,
                           packed_attention=self.packed_attention,
+                          int8_ff=self.int8_ff,
                           name="attn")(x, context)
         x = ResnetBlock(self.channels, groups=self.groups, eps=self.eps,
                         use_pallas_gn=self.use_pallas_gn,
@@ -497,6 +526,7 @@ class UNet2DCondition(nn.Module):
                     use_fused_attention=cfg.use_fused_attention,
                     int8_attention=cfg.use_int8_attention,
                     packed_attention=cfg.use_packed_attention,
+                    int8_ff=cfg.use_int8_ff,
                     name=f"down_blocks_img{i}")(x_img, emb_img, context)
                 if cfg.add_adaptor:
                     res = [nn.Conv(r.shape[-1], (3, 3), padding=1,
@@ -535,6 +565,7 @@ class UNet2DCondition(nn.Module):
                 use_fused_attention=cfg.use_fused_attention,
                 int8_attention=cfg.use_int8_attention,
                 packed_attention=cfg.use_packed_attention,
+                int8_ff=cfg.use_int8_ff,
                 name=f"down_blocks{i}")(x, emb, context)
             res_stack.extend(res)
 
@@ -554,6 +585,7 @@ class UNet2DCondition(nn.Module):
             use_fused_attention=cfg.use_fused_attention,
             int8_attention=cfg.use_int8_attention,
             packed_attention=cfg.use_packed_attention,
+            int8_ff=cfg.use_int8_ff,
             name="mid_block")(x, emb, context)
 
         # 6. up blocks (:400-425)
@@ -580,6 +612,7 @@ class UNet2DCondition(nn.Module):
                 use_fused_attention=cfg.use_fused_attention,
                 int8_attention=cfg.use_int8_attention,
                 packed_attention=cfg.use_packed_attention,
+                int8_ff=cfg.use_int8_ff,
                 upsample_size=upsample_size,
                 name=f"up_blocks{i}")(x, res_samples, emb, context)
 

@@ -106,7 +106,10 @@ def int8_conv_prequant(q, s, w, strides, padding, out_dtype=jnp.bfloat16):
     return (y.astype(jnp.float32) * scale).astype(out_dtype)
 
 
-def prequantize_conv_tree(params):
+def prequantize_conv_tree(params, quantize_ff: bool = False):
+    # quantize_ff covers ALL transformer token matmuls: the GEGLU
+    # feed-forward, the attention projections (to_q/k/v/to_out) and
+    # the Transformer2D 1x1 proj convs (use_int8_ff/use_int8_attention)
     """Quantize resnet ``conv1``/``conv2`` kernels ONCE, host-side/outside
     the sampling scan.
 
@@ -117,6 +120,10 @@ def prequantize_conv_tree(params):
     ``{"q": int8, "scale": f32[O]}``; :class:`QuantConv` detects the dict
     and skips the in-graph quantize. The tree shape change is an explicit
     inference-time step — checkpoints keep the bf16 layout.
+
+    ``quantize_ff`` additionally converts the transformer GEGLU
+    feed-forward kernels for models built with ``use_int8_ff`` (plain
+    ``nn.Dense`` cannot consume dict leaves, so this is opt-in).
     """
     def walk(node):
         if not isinstance(node, dict):
@@ -137,6 +144,40 @@ def prequantize_conv_tree(params):
                 q, s = quantize_weight(v["conv"]["kernel"])
                 out[k] = dict(v, conv=dict(v["conv"],
                                            kernel={"q": q, "scale": s}))
+            elif (k == "downsample" and isinstance(v, dict)
+                    and "kernel" in v
+                    and getattr(v["kernel"], "ndim", 0) == 4):
+                # ImageVAE DownEncoderBlock QuantConv (models/image_vae.py)
+                q, s = quantize_weight(v["kernel"])
+                out[k] = dict(v, kernel={"q": q, "scale": s})
+            elif (quantize_ff and k in ("to_q", "to_k", "to_v", "to_out")
+                    and isinstance(v, dict) and "kernel" in v
+                    and getattr(v["kernel"], "ndim", 0) == 2):
+                kern = v["kernel"].astype(jnp.float32)
+                ws = jnp.maximum(jnp.max(jnp.abs(kern), axis=0),
+                                 1e-8) / 127.0
+                wq = jnp.round(kern / ws).astype(jnp.int8)
+                out[k] = dict(v, kernel={"q": wq, "scale": ws})
+            elif (quantize_ff and k in ("proj_in", "proj_out")
+                    and "block0" in node and "norm" in node
+                    and isinstance(v, dict) and "kernel" in v
+                    and getattr(v["kernel"], "ndim", 0) == 4):
+                # Transformer2D 1x1 proj convs
+                q, s = quantize_weight(v["kernel"])
+                out[k] = dict(v, kernel={"q": q, "scale": s})
+            elif (quantize_ff and k == "ff" and isinstance(v, dict)
+                    and set(v) == {"proj_in", "proj_out"}
+                    and all(getattr(v[m].get("kernel"), "ndim", 0) == 2
+                            for m in ("proj_in", "proj_out"))):
+                # transformer GEGLU feed-forward QuantDense (2D kernels)
+                new = {}
+                for m in ("proj_in", "proj_out"):
+                    kern = v[m]["kernel"].astype(jnp.float32)
+                    w_absmax = jnp.max(jnp.abs(kern), axis=0)
+                    ws = jnp.maximum(w_absmax, 1e-8) / 127.0
+                    wq = jnp.round(kern / ws).astype(jnp.int8)
+                    new[m] = dict(v[m], kernel={"q": wq, "scale": ws})
+                out[k] = new
             else:
                 out[k] = walk(v)
         return out
@@ -164,6 +205,46 @@ def _int8_conv_wq(x, w_q, w_scale, strides, padding, act_scale,
         dimension_numbers=_dn(x.shape, w_q.shape),
         preferred_element_type=jnp.int32)
     return (y.astype(jnp.float32) * (x_scale * w_scale)).astype(out_dtype)
+
+
+class QuantDense(nn.Module):
+    """Drop-in for ``nn.Dense`` with the s8 MXU path (dynamic per-tensor
+    activation amax, per-output-channel weight scale). Same param layout
+    as ``nn.Dense``; supports prequantized ``{"q","scale"}`` kernel
+    leaves from :func:`prequantize_conv_tree`. Inference-only (token
+    feed-forward matmuls in the UNet transformer blocks)."""
+
+    features: int
+    use_bias: bool = True
+    act_scale: float | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (cin, self.features))
+        if isinstance(kernel, dict):
+            w_q, w_scale = kernel["q"], kernel["scale"]
+        else:
+            w_absmax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=0)
+            w_scale = jnp.maximum(w_absmax, 1e-8) / 127.0
+            w_q = jnp.round(kernel.astype(jnp.float32) / w_scale).astype(
+                jnp.int8)
+        x_f = x.astype(jnp.float32)
+        if self.act_scale is None:
+            x_scale = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-8) / 127.0
+        else:
+            x_scale = jnp.float32(self.act_scale)
+        x_q = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * (x_scale * w_scale)).astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class QuantConv(nn.Module):

@@ -21,6 +21,7 @@ non-square shape (the reference resizes to (latent_size, latent_size),
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 import time
@@ -117,6 +118,25 @@ class TrainerDiffusion:
         # CFG (reference sample :1147-1149 + guidance_scale base.yaml:118);
         # inactive unless the descriptor produces a context
         self.guidance_scale = float(sk.get("guidance_scale", 1.0))
+        # int8 inference (TPU-native, no reference counterpart): sampling
+        # runs the s8-conv/s8-attention UNet on weights pre-quantized
+        # outside the scan; training always stays bf16. Accuracy gates in
+        # tests/test_int8_inference.py; ~1.25x sampling throughput
+        # (BENCH_NOTES.md round-2 table).
+        self.int8_inference = bool(sk.get("int8_inference", False))
+        if self.int8_inference:
+            self.unet_infer = UNet2DCondition(config=dataclasses.replace(
+                unet_config,
+                use_int8_conv=True,
+                int8_act_scale=sk.get("int8_act_scale", 0.05),
+                use_int8_attention=True,
+                use_int8_ff=True,
+                use_fused_attention=True))
+            from ..ops.quant import prequantize_conv_tree
+            self._prequant = jax.jit(functools.partial(
+                prequantize_conv_tree, quantize_ff=True))
+        else:
+            self.unet_infer = self.unet
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self.ds = dataset
@@ -344,12 +364,13 @@ class TrainerDiffusion:
     # training (train_single_epoch + compute_loss)
     # ------------------------------------------------------------------
     def _unet_apply(self, params, latents, rgb_latents, condition, t,
-                    context=None):
+                    context=None, infer: bool = False):
         inputs = jnp.concatenate([latents, rgb_latents], axis=-1)
         if condition is not None:
             inputs = jnp.concatenate([inputs, condition], axis=-1)
-        return self.unet.apply(params, inputs.astype(self.compute_dtype),
-                               t, context).astype(jnp.float32)
+        unet = self.unet_infer if infer else self.unet
+        return unet.apply(params, inputs.astype(self.compute_dtype),
+                          t, context).astype(jnp.float32)
 
     def _train_step_impl(self, state: TrainState, frozen, batch,
                          key: jax.Array):
@@ -524,7 +545,7 @@ class TrainerDiffusion:
 
         def model_fn(latents, condition, t):
             return self._unet_apply(unet_params, latents, rgb_latents,
-                                    condition, t, context)
+                                    condition, t, context, infer=True)
 
         if uncond_context is not None and guidance_scale != 1.0:
             # classifier-free guidance (reference :1147-1149)
@@ -532,7 +553,8 @@ class TrainerDiffusion:
 
             def uncond_fn(latents, condition, t):
                 return self._unet_apply(unet_params, latents, rgb_latents,
-                                        condition, t, uncond_context)
+                                        condition, t, uncond_context,
+                                        infer=True)
 
             model_fn = cfg_model_fn(model_fn, uncond_fn, guidance_scale)
 
@@ -567,8 +589,13 @@ class TrainerDiffusion:
             float(guidance_scale)
         uncond = self._uncond_context(context, self.frozen_params) \
             if gs != 1.0 else None
+        eval_params = self.state.eval_params()
+        if self.int8_inference:
+            # one device pass re-quantizing weights, amortized over the
+            # 50-step scan
+            eval_params = self._prequant(eval_params)
         logits, x0 = self._sample_decode(
-            self.state.eval_params(), self.frozen_params, rgb_latents, key,
+            eval_params, self.frozen_params, rgb_latents, key,
             context, uncond,
             num_inference_steps=num_inference_steps or
             self.num_inference_steps, repeat_noise=repeat_noise,

@@ -120,6 +120,10 @@ DEFAULT_CONFIG: dict = {
         "seed": 0,
         "block_size": 2,
         "prob_mask": 0.5,
+        # TPU-native int8 sampling (s8 convs + s8 attention, weights
+        # pre-quantized outside the scan); training stays bf16
+        "int8_inference": False,
+        "int8_act_scale": 0.05,
     },
     "eval_kwargs": {
         "mask_th": 0.5,
