@@ -97,13 +97,11 @@ class CrossAttention(nn.Module):
         context = x if context is None else context
         inner = self.query_dim
         head_dim = inner // self.heads
-        if self.int8:
-            # s8 projections to match the s8 attention kernel (the
-            # re-quantization roundtrip is covered by the accuracy gates)
-            from ..ops.quant import QuantDense
-            Dense = QuantDense
-        else:
-            Dense = nn.Dense
+        # NOTE: quantizing to_q/k/v/to_out (QuantDense) measured NET
+        # NEGATIVE e2e (43.9 vs 42.4 ms/fwd b16) - the extra quantize
+        # roundtrip before the s8 attention kernel (which quantizes its
+        # inputs anyway) costs more than the s8 matmuls save. bf16 kept.
+        Dense = nn.Dense
         q = Dense(inner, use_bias=False, name="to_q")(x)
         k = Dense(inner, use_bias=False, name="to_k")(context)
         v = Dense(inner, use_bias=False, name="to_v")(context)
@@ -210,11 +208,8 @@ class Transformer2D(nn.Module):
         residual = x
         y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          name="norm")(x)
-        if self.int8_attention:
-            from ..ops.quant import QuantConv
-            Proj = QuantConv
-        else:
-            Proj = functools.partial(nn.Conv, padding=0)
+        # (1x1 proj conv quantization also measured net-negative; bf16)
+        Proj = functools.partial(nn.Conv, padding=0)
         y = Proj(self.channels, (1, 1), name="proj_in")(y)
         y = y.reshape(b, h * w, self.channels)
         for i in range(self.depth):

@@ -150,21 +150,6 @@ def prequantize_conv_tree(params, quantize_ff: bool = False):
                 # ImageVAE DownEncoderBlock QuantConv (models/image_vae.py)
                 q, s = quantize_weight(v["kernel"])
                 out[k] = dict(v, kernel={"q": q, "scale": s})
-            elif (quantize_ff and k in ("to_q", "to_k", "to_v", "to_out")
-                    and isinstance(v, dict) and "kernel" in v
-                    and getattr(v["kernel"], "ndim", 0) == 2):
-                kern = v["kernel"].astype(jnp.float32)
-                ws = jnp.maximum(jnp.max(jnp.abs(kern), axis=0),
-                                 1e-8) / 127.0
-                wq = jnp.round(kern / ws).astype(jnp.int8)
-                out[k] = dict(v, kernel={"q": wq, "scale": ws})
-            elif (quantize_ff and k in ("proj_in", "proj_out")
-                    and "block0" in node and "norm" in node
-                    and isinstance(v, dict) and "kernel" in v
-                    and getattr(v["kernel"], "ndim", 0) == 4):
-                # Transformer2D 1x1 proj convs
-                q, s = quantize_weight(v["kernel"])
-                out[k] = dict(v, kernel={"q": q, "scale": s})
             elif (quantize_ff and k == "ff" and isinstance(v, dict)
                     and set(v) == {"proj_in", "proj_out"}
                     and all(getattr(v[m].get("kernel"), "ndim", 0) == 2
