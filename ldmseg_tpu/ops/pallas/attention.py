@@ -101,19 +101,31 @@ def _fused_impl_s8(q8, k8, v8, sc, block_q):
 def fused_self_attention_s8(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale: float, block_q: int = 1024, max_seq: int = 4096,
+    act_scale: float | None = None,
 ) -> jnp.ndarray:
     """s8-MXU self-attention, inputs ``[B, T, H, Dh]`` float. Per-tensor
     dynamic amax quantization of q/k/v happens OUTSIDE the pallas call so
     XLA fuses it into the producing projections; inference-only (no VJP —
     guard with ``jax.lax.stop_gradient`` upstream or train via the bf16
-    path)."""
+    path).
+
+    ``act_scale`` replaces the three dynamic amax sweeps with one static
+    scale (values beyond ``127*act_scale`` saturate) — the amax reduces
+    re-read each projection output and cost ~1.8 ms/fwd in the profiled
+    b16 step; accuracy stays gated by tests/test_int8_inference.py."""
     b, t, h, dh = q.shape
     if (t > max_seq or t % min(block_q, t) != 0
             or jax.default_backend() == "cpu"):  # no compiled pallas on CPU
         return _xla_bthd(q, k, v, scale)
-    qs = jnp.maximum(jnp.max(jnp.abs(q)), 1e-6).astype(jnp.float32) / 127.0
-    ks = jnp.maximum(jnp.max(jnp.abs(k)), 1e-6).astype(jnp.float32) / 127.0
-    vs = jnp.maximum(jnp.max(jnp.abs(v)), 1e-6).astype(jnp.float32) / 127.0
+    if act_scale is not None:
+        qs = ks = vs = jnp.float32(act_scale)
+    else:
+        qs = jnp.maximum(jnp.max(jnp.abs(q)),
+                         1e-6).astype(jnp.float32) / 127.0
+        ks = jnp.maximum(jnp.max(jnp.abs(k)),
+                         1e-6).astype(jnp.float32) / 127.0
+        vs = jnp.maximum(jnp.max(jnp.abs(v)),
+                         1e-6).astype(jnp.float32) / 127.0
     quant = lambda x, s: jnp.clip(  # noqa: E731
         jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
     flat = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, dh)  # noqa
