@@ -211,3 +211,32 @@ class TimestepEmbedding(nn.Module):
         emb = nn.silu(emb)
         emb = nn.Dense(self.dim, name="linear_2")(emb)
         return emb
+
+class ConvTranspose2x(nn.Module):
+    """``nn.ConvTranspose(features, (2,2), strides=(2,2), padding=VALID)``
+    computed as a 1x1 matmul to ``4*features`` + pixel shuffle.
+
+    XLA lowers stride-2 conv-transpose via zero-insertion padding, which
+    shows up as the dominant ``copy`` ops in the SegVAE decode trace
+    (11.5 ms/call of 23.4 at b16 256x512). With kernel == stride the
+    output blocks are independent, so the op is exactly one MXU matmul
+    plus an interleaving reshape. Param layout is IDENTICAL to
+    ``nn.ConvTranspose`` (kernel ``(2, 2, Cin, Cout)``, bias) so existing
+    checkpoints and ``torch_import`` keep working; numerics match
+    bit-for-bit (the lax.conv_transpose convention mirrors the kernel,
+    hence the ``[::-1, ::-1]`` flip).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        o = self.features
+        w2 = kernel[::-1, ::-1].transpose(2, 0, 1, 3).reshape(c, 4 * o)
+        y = jnp.dot(x.reshape(b * h * w, c), w2.astype(x.dtype))
+        y = y.reshape(b, h, w, 2, 2, o).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(b, 2 * h, 2 * w, o) + bias.astype(x.dtype)

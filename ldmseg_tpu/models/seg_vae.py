@@ -245,8 +245,10 @@ class SegDecoder(nn.Module):
                            name="mid")(h)
         dim = self.upscale_channels
         for i in range(self.num_upscalers):
-            h = nn.ConvTranspose(dim, (2, 2), strides=(2, 2), padding="VALID",
-                                 name=f"up{i}_convt")(h)
+            # pixel-shuffle form of ConvTranspose 2x2/s2 (same params,
+            # bit-exact; avoids XLA's zero-insertion copy lowering)
+            from .layers import ConvTranspose2x
+            h = ConvTranspose2x(dim, name=f"up{i}_convt")(h)
             h = LayerNorm2d(name=f"up{i}_ln")(h)
             h = nn.silu(h)
         # torch nn.GroupNorm default eps (1e-5) in the decoder head

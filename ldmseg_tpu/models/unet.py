@@ -450,8 +450,8 @@ class UpscalerHead(nn.Module):
     def __call__(self, x):
         from .layers import LayerNorm2d
         h = nn.Conv(self.dim, (3, 3), padding=1, name="conv1")(x)
-        h = nn.ConvTranspose(self.dim, (2, 2), strides=(2, 2),
-                             padding="VALID", name="convt")(h)
+        from .layers import ConvTranspose2x
+        h = ConvTranspose2x(self.dim, name="convt")(h)
         h = LayerNorm2d(name="ln")(h)
         h = nn.silu(h)
         h = nn.Conv(self.dim, (3, 3), padding=1, name="conv2")(h)

@@ -229,15 +229,6 @@ def fused_self_attention_packed_s8(
     return out.astype(q.dtype)
 
 
-def _attn_kernel_bthd(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    """Blocks taken directly from the [B, T, H, D] layout (no host-side
-    transpose): q [1, BQ, 1, D], k/v [1, T, 1, D]."""
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
-    _attn_body(q, k, v, o_ref, scale)
-
-
 def _fused_impl(q, k, v, scale, block_q):
     bh, t, d = q.shape
     block_q = min(block_q, t)
@@ -286,50 +277,11 @@ def _bwd(scale, block_q, res, g):
 _fused_self_attention_flat.defvjp(_fwd, _bwd)
 
 
-def _fused_impl_bthd(q, k, v, scale, block_q):
-    """Kernel over the native [B, T, H, D] layout — no transposes, so the
-    surrounding graph needs no layout copies."""
-    b, t, h, d = q.shape
-    block_q = min(block_q, t)
-    grid = (b, h, t // block_q)
-    qspec = pl.BlockSpec((1, block_q, 1, d), lambda i, j, l: (i, l, j, 0),
-                         memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, t, 1, d), lambda i, j, l: (i, 0, j, 0),
-                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_attn_kernel_bthd, scale=scale),
-        grid=grid,
-        in_specs=[qspec, kvspec, kvspec],
-        out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(q, k, v)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _fused_self_attention_bthd(q, k, v, scale, block_q):
-    return _fused_impl_bthd(q, k, v, scale, block_q)
-
-
 def _xla_bthd(q, k, v, scale):
     b, t, h, dh = q.shape
     flat = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, dh)  # noqa
     out = _xla_reference(flat(q), flat(k), flat(v), scale)
     return out.reshape(b, h, t, dh).transpose(0, 2, 1, 3)
-
-
-def _fwd_bthd(q, k, v, scale, block_q):
-    return _fused_impl_bthd(q, k, v, scale, block_q), (q, k, v)
-
-
-def _bwd_bthd(scale, block_q, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: _xla_bthd(a, b, c, scale), q, k, v)
-    return vjp(g)
-
-
-_fused_self_attention_bthd.defvjp(_fwd_bthd, _bwd_bthd)
 
 
 def _attn_kernel_btc(q_ref, k_ref, v_ref, o_ref, *, heads: int,

@@ -309,3 +309,17 @@ def test_bilinear_upsample_2x_matches_resize():
     out = bilinear_upsample_2x(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_convtranspose2x_matches_flax():
+    """Pixel-shuffle ConvTranspose2x == nn.ConvTranspose((2,2),s2,VALID)
+    on the SAME params (bit-exact; used in SegVAE decoder + upscaler)."""
+    from flax import linen as nn
+    from ldmseg_tpu.models.layers import ConvTranspose2x
+    ref_m = nn.ConvTranspose(6, (2, 2), strides=(2, 2), padding="VALID")
+    x = jax.random.normal(jax.random.key(0), (2, 4, 5, 3))
+    p = ref_m.init(jax.random.key(1), x)
+    ref = ref_m.apply(p, x)
+    out = ConvTranspose2x(6).apply(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6,
+                               atol=1e-6)
