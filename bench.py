@@ -2,9 +2,11 @@
 
 Measures video frames/sec/chip for the full inference pipeline — RGB VAE
 encode -> 50 UNet denoise steps (one lax.scan) -> seg-VAE decode to
-instance logits — at 256x512 input (32x64 latent), bf16, on the attached
-TPU chip, with the SD-1.4-sized UNet. North star (BASELINE.json): >= 8
-frames/s/chip.
+instance logits — at 256x512 input (32x64 latent), batch 16, on the
+attached TPU chip, with the SD-1.4-sized UNet on the int8 inference path
+(s8 convs/attention/feed-forward, weights pre-quantized outside the
+scan; accuracy gates in tests/test_int8_inference.py, history in
+BENCH_NOTES.md). North star (BASELINE.json): >= 8 frames/s/chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
