@@ -280,3 +280,47 @@ class QuantConv(nn.Module):
             y = int8_conv(x, kernel, tuple(self.strides), pad,
                           self.act_scale)
         return y + bias.astype(y.dtype)
+
+
+def calibrate_act_scale(apply_fn, params, sample_inputs,
+                        percentile: float | None = None):
+    """Measure the static ``int8_act_scale`` for a model on real data.
+
+    Runs ``apply_fn(params, *sample_inputs)`` with flax intermediate
+    capture and returns ``amax / 127`` over every GroupNorm+SiLU output
+    that feeds a quantized conv (module names ``norm1``/``norm2`` — the
+    :class:`~ldmseg_tpu.models.layers.GroupNormSiLU` pairs in the resnet
+    blocks). Use the result as ``UNetConfig.int8_act_scale`` /
+    ``sampling_kwargs.int8_act_scale`` when deploying int8 inference on a
+    trained checkpoint instead of trusting the random-init default.
+
+    ``percentile`` (e.g. 99.9) clips calibration outliers — values above
+    the returned ``127 * scale`` saturate at inference, which is usually
+    preferable to losing precision on the bulk of the distribution.
+    """
+    import numpy as np
+
+    _, state = apply_fn(params, *sample_inputs,
+                        capture_intermediates=True, mutable=["intermediates"])
+
+    vals = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, (tuple, list)):
+            for v in node:
+                walk(v, path)
+        else:
+            if any(p in ("norm1", "norm2") for p in path):
+                vals.append(np.abs(np.asarray(node, np.float32)).ravel())
+
+    walk(state["intermediates"], ())
+    if not vals:
+        raise ValueError("no norm1/norm2 intermediates captured — is the "
+                         "model built from ResnetBlock (GroupNormSiLU)?")
+    flat = np.concatenate(vals)
+    amax = (np.percentile(flat, percentile) if percentile is not None
+            else flat.max())
+    return float(max(amax, 1e-6) / 127.0)

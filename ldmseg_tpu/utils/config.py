@@ -123,6 +123,8 @@ DEFAULT_CONFIG: dict = {
         # TPU-native int8 sampling (s8 convs + s8 attention, weights
         # pre-quantized outside the scan); training stays bf16
         "int8_inference": False,
+        # static conv act scale; measure on real data with
+        # ops.quant.calibrate_act_scale before deploying a checkpoint
         "int8_act_scale": 0.05,
     },
     "eval_kwargs": {

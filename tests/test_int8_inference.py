@@ -180,3 +180,24 @@ def test_trainer_int8_inference_sampling(tmp_path):
         assert np.isfinite(outs[name]).all()
     corr = np.corrcoef(outs["bf16"].ravel(), outs["int8"].ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+def test_calibrate_act_scale():
+    """Calibration measures amax/127 over the GN+SiLU outputs; percentile
+    mode clips outliers; result feeds int8_act_scale."""
+    from ldmseg_tpu.ops.quant import calibrate_act_scale
+    u = UNet2DCondition(config=UNetConfig(**BASE))
+    x = jax.random.normal(jax.random.key(1), (2, 8, 16, 8))
+    t = jnp.array([3, 7], jnp.int32)
+    p = u.init(jax.random.key(0), x, t)
+    s = calibrate_act_scale(u.apply, p, (x, t))
+    s99 = calibrate_act_scale(u.apply, p, (x, t), percentile=99.9)
+    assert 0 < s99 <= s < 1.0
+    # the calibrated scale must reproduce the forward within the usual
+    # int8 gate when used as the static conv scale
+    ui = UNet2DCondition(config=UNetConfig(
+        **BASE, use_int8_conv=True, int8_act_scale=s))
+    yb = np.asarray(u.apply(p, x, t), np.float32)
+    yi = np.asarray(ui.apply(p, x, t), np.float32)
+    corr = np.corrcoef(yb.ravel(), yi.ravel())[0, 1]
+    assert corr > 0.995, corr
