@@ -18,7 +18,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from .vpq import vpq_eval_device, vpq_eval_np, vpq_stats_to_scores, MAX_INS
+from .vpq import (vpq_eval_device, vpq_eval_np, vpq_stats_to_scores,
+                  count_segments_device, MAX_INS)
 
 
 def _window_concat(frames: Sequence[np.ndarray], i: int, k: int):
@@ -73,7 +74,15 @@ def evaluate_dvpq(
                                  eval_frames, depth_pred, depth_gt,
                                  depth_thres):
         if use_device:
-            i, t, n, p = vpq_eval_device(pred, gt, max_seg=max_seg,
+            # exact segment count first: jnp.unique(size=max_seg) in
+            # vpq_eval_device drops segments past the cap, so grow the
+            # (static, recompile-keyed) cap to the next power of two that
+            # fits crowded windows instead of truncating silently
+            n_gt, n_pred = (int(x) for x in count_segments_device(pred, gt))
+            seg = max_seg
+            while seg < max(n_gt, n_pred):
+                seg *= 2
+            i, t, n, p = vpq_eval_device(pred, gt, max_seg=seg,
                                          num_cat=num_cat)
             i, t, n, p = (np.asarray(x) for x in (i, t, n, p))
         else:

@@ -152,6 +152,12 @@ class PanopticEvaluator:
 
         cap = 4096  # static row budget for the variable per-class table
         cats = sorted(self.per_class)
+        if len(cats) > cap:
+            # never truncate silently — the per-class/thing/stuff
+            # breakdowns would be wrong for the dropped ids
+            raise ValueError(
+                f"per-class PQ table has {len(cats)} class ids > packing "
+                f"cap {cap}; raise the cap (all processes must agree)")
         rows = np.zeros((cap, 5), np.float64)
         for i, c in enumerate(cats[:cap]):
             s = self.per_class[c]

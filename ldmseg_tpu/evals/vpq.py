@@ -98,6 +98,23 @@ def vpq_eval_np(pred_ids: np.ndarray, gt_ids: np.ndarray,
 # Device implementation
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def count_segments_device(pred_ids: jnp.ndarray, gt_ids: jnp.ndarray):
+    """Exact distinct-segment counts ``(n_gt, n_pred)`` for one window.
+
+    ``vpq_eval_device`` compacts ids with ``jnp.unique(..., size=max_seg)``,
+    which silently DROPS segments past the cap. This sort-and-count-
+    transitions pass is exact at any segment count; callers use it to
+    grow ``max_seg`` (see :func:`~ldmseg_tpu.evals.dvpq.evaluate_dvpq`)
+    so truncation can never happen silently.
+    """
+    def n_unique(a):
+        s = jnp.sort(a.reshape(-1))
+        return 1 + jnp.sum(s[1:] != s[:-1])
+
+    return n_unique(gt_ids), n_unique(pred_ids)
+
+
 @partial(jax.jit, static_argnames=("max_seg", "num_cat", "ign_id",
                                    "max_ins"))
 def vpq_eval_device(

@@ -15,6 +15,7 @@ which XLA fuses without any gather.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -40,3 +41,24 @@ def bilinear_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
     """Exact 2x bilinear upsample of ``[B, H, W, C]`` (half-pixel
     centers), matching ``jax.image.resize(..., method="linear")``."""
     return _up_axis_w(_up_axis_h(x))
+
+
+def resize_weight_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Host-side ``[in_size, out_size]`` weight matrix W such that
+    ``x @ W == jax.image.resize(x, out_size, "linear")`` along that axis
+    (triangle kernel, antialias, half-pixel centers — the same math as
+    jax's ``compute_weight_mat``; building it in numpy lets heterogeneous
+    eval sizes share ONE compiled einsum keyed on a padded bucket instead
+    of recompiling ``jax.image.resize`` per image size)."""
+    scale = out_size / in_size
+    inv_scale = 1.0 / scale
+    kernel_scale = max(inv_scale, 1.0)  # antialias widening on downsample
+    sample_f = (np.arange(out_size) + 0.5) * inv_scale - 0.5
+    x = np.abs(sample_f[None, :] - np.arange(in_size)[:, None]) / \
+        kernel_scale
+    w = np.maximum(0.0, 1.0 - np.abs(x))
+    total = w.sum(axis=0, keepdims=True)
+    w = np.where(np.abs(total) > 1000.0 * np.finfo(np.float32).eps,
+                 w / np.where(total != 0, total, 1), 0.0)
+    inside = (sample_f >= -0.5) & (sample_f <= in_size - 0.5)
+    return np.where(inside[None, :], w, 0.0).astype(np.float32)

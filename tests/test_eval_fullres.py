@@ -84,6 +84,10 @@ def test_eval_fullres_matches_per_image_oracle(tmp_path):
     np.testing.assert_allclose(r1["pq"], r2["pq"])
     assert r1["tp"] > 0  # the rectangles actually match
 
+    # heterogeneous sizes share ONE compiled program (padded bucket),
+    # instead of recompiling resize+post-process per distinct (oh, ow)
+    assert tr._fullres_post._cache_size() == 1
+
 
 def test_eval_fullres_padding_crop(tmp_path):
     """meta['padding'] removes padded rows/cols before the restore —

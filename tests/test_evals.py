@@ -45,6 +45,41 @@ def test_vpq_device_matches_numpy_oracle():
                                        atol=1e-5, err_msg=name)
 
 
+def test_vpq_overflow_guard_crowded_window():
+    """A window with > 256 distinct segments must NOT be silently
+    truncated: evaluate_dvpq grows max_seg from the exact device segment
+    count and still matches the numpy oracle."""
+    from ldmseg_tpu.evals.vpq import count_segments_device
+
+    rng = np.random.RandomState(7)
+    # ~400 distinct ids per map: 8 thing classes x 50 instances on a grid
+    hs, ws = 20, 20
+    cat = rng.randint(0, 8, size=(hs, ws))
+    ins = rng.randint(0, 50, size=(hs, ws))
+    gt_small = cat * MAX_INS + ins
+    gt = np.kron(gt_small, np.ones((8, 8), dtype=np.int64))
+    pred = gt.copy()
+    noise = np.kron(rng.randint(0, 8, size=(hs, ws)) * MAX_INS
+                    + rng.randint(0, 50, size=(hs, ws)),
+                    np.ones((8, 8), dtype=np.int64))
+    m = np.kron(rng.rand(hs, ws) < 0.2, np.ones((8, 8), dtype=bool))
+    pred[m] = noise[m]
+
+    n_gt, n_pred = (int(x) for x in count_segments_device(
+        jnp.asarray(pred), jnp.asarray(gt)))
+    assert max(n_gt, n_pred) > 256  # the scenario actually overflows
+    assert n_gt == len(np.unique(gt)) and n_pred == len(np.unique(pred))
+
+    ref = vpq_eval_np(pred, gt)
+    s_dev = evaluate_dvpq([pred // MAX_INS], [pred % MAX_INS],
+                          [gt // MAX_INS], [gt % MAX_INS],
+                          eval_frames=1, max_seg=256)
+    s_ref = vpq_stats_to_scores(*ref)
+    np.testing.assert_allclose(s_dev["pq"], s_ref["pq"], rtol=1e-6)
+    np.testing.assert_allclose(s_dev["per_class_pq"],
+                               s_ref["per_class_pq"], rtol=1e-6)
+
+
 def test_vpq_perfect_prediction():
     rng = np.random.RandomState(1)
     gt = _blocky(rng, 32, 48)
