@@ -106,7 +106,9 @@ def int8_conv_prequant(q, s, w, strides, padding, out_dtype=jnp.bfloat16):
     return (y.astype(jnp.float32) * scale).astype(out_dtype)
 
 
-def prequantize_conv_tree(params, quantize_ff: bool = False):
+def prequantize_conv_tree(params, quantize_ff: bool = False,
+                          absorbed_attention: bool = False,
+                          attention_heads: int = 8):
     # quantize_ff covers ALL transformer token matmuls: the GEGLU
     # feed-forward, the attention projections (to_q/k/v/to_out) and
     # the Transformer2D 1x1 proj convs (use_int8_ff/use_int8_attention)
@@ -150,6 +152,26 @@ def prequantize_conv_tree(params, quantize_ff: bool = False):
                 # ImageVAE DownEncoderBlock QuantConv (models/image_vae.py)
                 q, s = quantize_weight(v["kernel"])
                 out[k] = dict(v, kernel={"q": q, "scale": s})
+            elif (absorbed_attention and k == "attn1"
+                    and isinstance(v, dict)
+                    and {"to_q", "to_k", "to_v", "to_out"} <= set(v)
+                    and getattr(v["to_q"].get("kernel"), "ndim", 0) == 2):
+                # absorbed-attention self-attn: split the [C, C] kernels
+                # into per-head s8 slices (models/unet.py CrossAttention
+                # ._absorbed consumes {"q", "scale"} dict leaves; the
+                # UNet must be built with use_absorbed_attention)
+                from ..ops.pallas.attention import quantize_head_weights
+                wq8, wk8, wv8, wo8, scales = quantize_head_weights(
+                    v["to_q"]["kernel"], v["to_k"]["kernel"],
+                    v["to_v"]["kernel"], v["to_out"]["kernel"],
+                    attention_heads)
+                out[k] = dict(
+                    v,
+                    to_q={"kernel": {"q": wq8, "scale": scales[:, 0, 0]}},
+                    to_k={"kernel": {"q": wk8, "scale": scales[:, 0, 1]}},
+                    to_v={"kernel": {"q": wv8, "scale": scales[:, 0, 2]}},
+                    to_out=dict(v["to_out"], kernel={
+                        "q": wo8, "scale": scales[:, 0, 3]}))
             elif (quantize_ff and k == "ff" and isinstance(v, dict)
                     and set(v) == {"proj_in", "proj_out"}
                     and all(getattr(v[m].get("kernel"), "ndim", 0) == 2
@@ -192,6 +214,47 @@ def _int8_conv_wq(x, w_q, w_scale, strides, padding, act_scale,
     return (y.astype(jnp.float32) * (x_scale * w_scale)).astype(out_dtype)
 
 
+def _int8_dot_impl(x, kernel, act_scale=None):
+    w_absmax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=0)
+    w_scale = jnp.maximum(w_absmax, 1e-8) / 127.0
+    w_q = jnp.round(kernel.astype(jnp.float32) / w_scale).astype(jnp.int8)
+    x_f = x.astype(jnp.float32)
+    if act_scale is None:
+        x_scale = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-8) / 127.0
+    else:
+        x_scale = jnp.float32(act_scale)
+    x_q = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (x_scale * w_scale)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def int8_dot(x, kernel, act_scale=None):
+    """s8 x s8 -> s32 matmul with a straight-through-estimator backward
+    (gradients of the float matmul), so ``use_int8_ff`` is differentiable
+    like :func:`int8_conv` rather than silently producing zero grads if a
+    training config ever enables it."""
+    return _int8_dot_impl(x, kernel, act_scale)
+
+
+def _dot_fwd(x, kernel, act_scale=None):
+    return _int8_dot_impl(x, kernel, act_scale), (x, kernel)
+
+
+def _dot_bwd(act_scale, res, g):
+    x, kernel = res
+    _, vjp = jax.vjp(
+        lambda a, b: jax.lax.dot_general(
+            a, b.astype(a.dtype), (((a.ndim - 1,), (0,)), ((), ()))),
+        x, kernel)
+    return vjp(g)
+
+
+int8_dot.defvjp(_dot_fwd, _dot_bwd)
+
+
 class QuantDense(nn.Module):
     """Drop-in for ``nn.Dense`` with the s8 MXU path (dynamic per-tensor
     activation amax, per-output-channel weight scale). Same param layout
@@ -209,22 +272,23 @@ class QuantDense(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (cin, self.features))
         if isinstance(kernel, dict):
+            # pre-quantized by prequantize_conv_tree; inference-only path
             w_q, w_scale = kernel["q"], kernel["scale"]
+            x_f = x.astype(jnp.float32)
+            if self.act_scale is None:
+                x_scale = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-8) / 127.0
+            else:
+                x_scale = jnp.float32(self.act_scale)
+            x_q = jnp.clip(jnp.round(x_f / x_scale), -127,
+                           127).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = (y.astype(jnp.float32) * (x_scale * w_scale)).astype(x.dtype)
         else:
-            w_absmax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=0)
-            w_scale = jnp.maximum(w_absmax, 1e-8) / 127.0
-            w_q = jnp.round(kernel.astype(jnp.float32) / w_scale).astype(
-                jnp.int8)
-        x_f = x.astype(jnp.float32)
-        if self.act_scale is None:
-            x_scale = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-8) / 127.0
-        else:
-            x_scale = jnp.float32(self.act_scale)
-        x_q = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
-        y = jax.lax.dot_general(
-            x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        y = (y.astype(jnp.float32) * (x_scale * w_scale)).astype(x.dtype)
+            # STE custom_vjp: differentiable like int8_conv, so a train
+            # config flipping use_int8_ff gets float grads, not zeros
+            y = int8_dot(x, kernel, self.act_scale)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,))
@@ -260,8 +324,11 @@ class QuantConv(nn.Module):
             pad = self.padding
         if isinstance(kernel, dict):
             # weights pre-quantized by prequantize_conv_tree (outside the
-            # sampling scan); inference-only path
+            # sampling scan); inference-only path. A per-site calibrated
+            # "x_scale" entry (ops.quant.apply_act_scales) overrides
+            # the global module attribute.
             w_q, w_scale = kernel["q"], kernel["scale"]
+            site_scale = kernel.get("x_scale", self.act_scale)
             if prequant:
                 q, s = x
                 y = jax.lax.conv_general_dilated(
@@ -272,7 +339,7 @@ class QuantConv(nn.Module):
                 y = (y.astype(jnp.float32) * scale).astype(jnp.bfloat16)
             else:
                 y = _int8_conv_wq(x, w_q, w_scale, tuple(self.strides),
-                                  pad, self.act_scale)
+                                  pad, site_scale)
         elif prequant:
             q, s = x
             y = int8_conv_prequant(q, s, kernel, tuple(self.strides), pad)
@@ -313,7 +380,13 @@ def calibrate_act_scale(apply_fn, params, sample_inputs,
             for v in node:
                 walk(v, path)
         else:
-            if any(p in ("norm1", "norm2") for p in path):
+            # only resnet GroupNormSiLU outputs feed the quantized convs;
+            # BasicTransformerBlock's LayerNorms share the norm1/norm2
+            # names (models/unet.py:184,192) but feed attention/FF and
+            # span wider ranges — including them biases the conv scale
+            in_resnet = any(p.startswith(("resnet", "mid_resnet"))
+                            for p in path)
+            if in_resnet and any(p in ("norm1", "norm2") for p in path):
                 vals.append(np.abs(np.asarray(node, np.float32)).ravel())
 
     walk(state["intermediates"], ())
@@ -324,3 +397,84 @@ def calibrate_act_scale(apply_fn, params, sample_inputs,
     amax = (np.percentile(flat, percentile) if percentile is not None
             else flat.max())
     return float(max(amax, 1e-6) / 127.0)
+
+
+def calibrate_act_scale_tree(apply_fn, params, sample_inputs,
+                             percentile: float | None = None) -> dict:
+    """Per-SITE static activation scales for the int8 inference path.
+
+    Like :func:`calibrate_act_scale` but returns one scale per quantized
+    conv site instead of a single global scalar: a dict mapping the
+    module path of each resnet ``conv1``/``conv2`` (tuple of names, e.g.
+    ``('down_blocks0', 'resnet0', 'conv1')``) to ``amax/127`` of the
+    GroupNormSiLU output that feeds it. Thread the result through
+    :func:`apply_act_scales` after :func:`prequantize_conv_tree` so every
+    site clips at its own range — the global scalar either saturates hot
+    layers or wastes codes on cold ones.
+    """
+    import numpy as np
+
+    _, state = apply_fn(params, *sample_inputs,
+                        capture_intermediates=True,
+                        mutable=["intermediates"])
+
+    scales: dict = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, (tuple, list)):
+            for v in node:
+                walk(v, path)
+        else:
+            in_resnet = any(p.startswith(("resnet", "mid_resnet"))
+                            for p in path)
+            norm = next((p for p in path if p in ("norm1", "norm2")), None)
+            if in_resnet and norm is not None:
+                a = np.abs(np.asarray(node, np.float32)).ravel()
+                amax = (np.percentile(a, percentile)
+                        if percentile is not None else a.max())
+                # norm1 feeds conv1, norm2 feeds conv2 (models/layers.py
+                # ResnetBlock); key by the conv's module path, dropping
+                # the '__call__' capture suffix
+                mod_path = tuple(p for p in path
+                                 if p not in ("__call__", norm))
+                conv = "conv1" if norm == "norm1" else "conv2"
+                key = mod_path + (conv,)
+                scales[key] = max(scales.get(key, 0.0),
+                                  float(max(amax, 1e-6) / 127.0))
+
+    walk(state["intermediates"], ())
+    if not scales:
+        raise ValueError("no resnet norm1/norm2 intermediates captured")
+    return scales
+
+
+def apply_act_scales(params, scales: dict):
+    """Write per-site activation scales into a tree processed by
+    :func:`prequantize_conv_tree`: each quantized-conv ``kernel``
+    ``{"q", "scale"}`` dict at a path in ``scales`` gains an
+    ``"x_scale"`` entry (named to sort after "q" — flax validates the
+    first sorted leaf of a stored param against the declared shape), which :class:`QuantConv` prefers over its
+    static module attribute."""
+    import jax.numpy as jnp
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        if set(node) >= {"q", "scale"}:
+            key = tuple(p for p in path[:-1])  # drop the 'kernel' leaf
+            if key in scales:
+                return dict(node, x_scale=jnp.float32(scales[key]))
+            return node
+        return {k: walk(v, path + (k,)) for k, v in node.items()}
+
+    # param trees are wrapped as {"params": ...}; scales keys are module
+    # paths without that prefix
+    def strip_walk(tree):
+        if isinstance(tree, dict) and set(tree) <= {"params", "batch_stats"}:
+            return {k: walk(v, ()) for k, v in tree.items()}
+        return walk(tree, ())
+
+    return strip_walk(params)

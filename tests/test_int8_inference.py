@@ -201,3 +201,92 @@ def test_calibrate_act_scale():
     yi = np.asarray(ui.apply(p, x, t), np.float32)
     corr = np.corrcoef(yb.ravel(), yi.ravel())[0, 1]
     assert corr > 0.995, corr
+
+
+def test_per_layer_calibration_beats_global_scale():
+    """calibrate_act_scale_tree emits one scale per resnet conv site;
+    threading them through apply_act_scales must be at least as accurate
+    as the single global amax scale (per-site ranges waste fewer codes),
+    and the site keys must match the prequantized conv paths."""
+    from ldmseg_tpu.ops.quant import (
+        calibrate_act_scale, calibrate_act_scale_tree,
+        prequantize_conv_tree, apply_act_scales)
+    u = UNet2DCondition(config=UNetConfig(**BASE))
+    x = jax.random.normal(jax.random.key(1), (2, 8, 16, 8))
+    t = jnp.array([3, 7], jnp.int32)
+    p = u.init(jax.random.key(0), x, t)
+
+    scales = calibrate_act_scale_tree(u.apply, p, (x, t))
+    s_glob = calibrate_act_scale(u.apply, p, (x, t))
+    assert len(scales) >= 8  # conv1+conv2 per resnet, down+mid+up
+    assert all(k[-1] in ("conv1", "conv2") for k in scales)
+    assert all(0 < v <= s_glob * (1 + 1e-6) for v in scales.values())
+    # per-site scales differ across the net (a global scalar can't fit)
+    assert max(scales.values()) / min(scales.values()) > 1.1
+
+    pq = prequantize_conv_tree(p)
+    pq_cal = apply_act_scales(pq, scales)
+    # every calibrated site landed on a prequantized kernel dict
+    hits = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if set(node) >= {"q", "scale"}:
+                if "x_scale" in node:
+                    hits.append(path)
+                return
+            for k, v in node.items():
+                walk(v, path + (k,))
+
+    walk(pq_cal["params"], ())
+    assert len(hits) == len(scales), (len(hits), len(scales))
+
+    ui = UNet2DCondition(config=UNetConfig(**BASE, use_int8_conv=True,
+                                           int8_act_scale=s_glob))
+    yb = np.asarray(u.apply(p, x, t), np.float32)
+    y_glob = np.asarray(ui.apply(prequantize_conv_tree(p), x, t),
+                        np.float32)
+    y_cal = np.asarray(ui.apply(pq_cal, x, t), np.float32)
+
+    def rel(a):
+        return np.abs(a - yb).mean() / (np.abs(yb).mean() + 1e-8)
+
+    assert rel(y_cal) <= rel(y_glob) * 1.02, (rel(y_cal), rel(y_glob))
+    corr = np.corrcoef(yb.ravel(), y_cal.ravel())[0, 1]
+    assert corr > 0.995, corr
+
+
+def test_trainer_calibrate_int8(tmp_path):
+    """TrainerDiffusion.calibrate_int8 measures scales on a real batch
+    and subsequent int8 sampling uses them (prequant pipeline gains
+    act_scale leaves)."""
+    from ldmseg_tpu.data import SyntheticDVPS, Loader
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+    from ldmseg_tpu.utils.config import DEFAULT_CONFIG, merge_dicts
+    cfg = merge_dicts(DEFAULT_CONFIG, {
+        "vae_model_kwargs": {
+            "in_channels": 10, "int_channels": 32, "out_channels": 32,
+            "block_out_channels": [8, 16, 16, 32], "num_upscalers": 2,
+            "upscale_channels": 32, "norm_num_groups": 8},
+        "train_kwargs": {"batch_size": 8, "train_num_steps": 1},
+        "sampling_kwargs": {"int8_inference": True,
+                            "num_inference_steps": 2},
+        "ignore_label": 0})
+    ucfg = UNetConfig(in_channels=8, out_channels=4,
+                      block_out_channels=(8, 16, 16, 32),
+                      layers_per_block=1, cross_attention_dim=16,
+                      attention_head_dim=2, norm_num_groups=4,
+                      use_cross_attention=False)
+    ds = SyntheticDVPS(length=8, size=(64, 128), num_classes=20)
+    tr = TrainerDiffusion(cfg, unet_config=ucfg, dataset=ds,
+                          val_dataset=ds, results_folder=str(tmp_path))
+    batch = next(iter(Loader(ds, 8, shuffle=False)))
+    tr.init_state(batch)
+    scales = tr.calibrate_int8(batch)
+    assert len(scales) >= 8
+    pq = tr._prequant(tr.state.eval_params())
+    flat = [k for k, v in jax.tree_util.tree_leaves_with_path(pq)]
+    assert any("x_scale" in jax.tree_util.keystr(k) for k in flat)
+    logits, x0 = tr.sample_panoptic(batch, jax.random.key(0),
+                                    num_inference_steps=2)
+    assert np.all(np.isfinite(np.asarray(x0)))
