@@ -118,7 +118,13 @@ def load_diffusers_unet(model_dir: str, config) -> dict:
     ``config``: our UNetConfig — controls whether attn2/norm2 are loaded
     (cross-attention removal drops them, reference unet.py:83-105).
     """
-    sd = _load_state_dict(model_dir, "unet")
+    return unet_params_from_sd(_load_state_dict(model_dir, "unet"), config)
+
+
+def unet_params_from_sd(sd: Dict[str, np.ndarray], config) -> dict:
+    """Convert an in-memory diffusers-UNet state dict (flat torch keys) to
+    our param tree — shared by the hub-layout loader above and the
+    reference stage-2 checkpoint importer (``load_reference_ldm``)."""
     xattn = config.use_cross_attention
     n_blocks = len(config.block_out_channels)
     lpb = config.layers_per_block
@@ -189,8 +195,14 @@ def _vae_attention(sd, pfx):
 
 def load_diffusers_vae(model_dir: str, decoder_enabled: bool = True) -> dict:
     """Build the ``ImageVAE`` param tree from ``<dir>/vae``."""
-    sd = _load_state_dict(model_dir, "vae")
+    return image_vae_params_from_sd(_load_state_dict(model_dir, "vae"),
+                                    decoder_enabled)
 
+
+def image_vae_params_from_sd(sd: Dict[str, np.ndarray],
+                             decoder_enabled: bool = True) -> dict:
+    """Convert an in-memory AutoencoderKL state dict to our ImageVAE
+    tree (shared with ``load_reference_ldm``)."""
     enc: dict = {"conv_in": _conv(sd, "encoder.conv_in"),
                  "norm_out": _norm(sd, "encoder.conv_norm_out"),
                  "conv_out": _conv(sd, "encoder.conv_out")}
@@ -293,7 +305,16 @@ def load_reference_seg_vae(
     sd = data[state_key] if isinstance(data, dict) and state_key in data \
         else data
     sd = {k.replace("module.", ""): v.numpy() for k, v in sd.items()}
+    return seg_vae_params_from_sd(sd, block_out_channels, num_upscalers)
 
+
+def seg_vae_params_from_sd(
+    sd: Dict[str, np.ndarray],
+    block_out_channels=(32, 64, 128, 256),
+    num_upscalers: int = 1,
+) -> dict:
+    """Convert an in-memory ``GeneralVAESeg`` state dict (Sequential-index
+    keys, 'module.' prefixes already stripped) to our SegVAE tree."""
     keymap = seg_vae_key_map(block_out_channels, num_upscalers)
     params: dict = {"encoder": {}, "decoder": {}}
     for src, (group, name, kind) in keymap.items():
@@ -312,3 +333,64 @@ def load_reference_seg_vae(
             raise ValueError(kind)
         params[group][name] = leaf
     return {"params": _to_jnp(params)}
+
+
+# ---------------------------------------------------------------------------
+# Reference stage-2 (LDM) checkpoints
+# ---------------------------------------------------------------------------
+
+def load_reference_ldm(
+    path: str,
+    unet_config,
+    block_out_channels=(32, 64, 128, 256),
+    num_upscalers: int = 1,
+    image_vae_decoder: bool = False,
+) -> dict:
+    """Ingest the fork's full stage-2 save dict
+    ``{step, epoch, vae_image, vae_semseg, unet, ema?, opt?, p?, scaler?}``
+    (reference construct_save_dict, trainers_ldm_cond.py:1844-1877;
+    consumed by resume/load :1879-1943) so a reference LDM training run
+    can be warm-started or evaluated here.
+
+    Returns ``{"unet", "vae_image", "vae_semseg", "ema" (or None),
+    "step"}`` — flax param trees ready for
+    ``TrainerDiffusion.init_state(unet_params=..., ...)``.
+
+    * 'module.' DDP prefixes are stripped from every sub-dict.
+    * ``unet`` is the post-surgery diffusers state dict: conv_in already
+      8(+cond)-ch, attn2/norm2 keys absent when cross-attention was
+      removed (reference unet.py:83-105) — ``unet_config`` must describe
+      the same surgery.
+    * ``ema``: diffusers-EMAModel layout ``{shadow_params: [tensors...]}``
+      ordered like ``unet.parameters()``; mapped back onto the unet tree
+      by zipping with the unet state-dict key order (the SD UNet has no
+      non-parameter buffers, so the orders coincide).
+    """
+    import torch
+    data = torch.load(path, map_location="cpu", weights_only=False)
+
+    def strip(sd):
+        return {k.replace("module.", ""): np.asarray(v)
+                for k, v in sd.items()}
+
+    unet_sd = strip(data["unet"])
+    out = {
+        "unet": unet_params_from_sd(unet_sd, unet_config),
+        "vae_image": image_vae_params_from_sd(
+            strip(data["vae_image"]), decoder_enabled=image_vae_decoder),
+        "vae_semseg": seg_vae_params_from_sd(
+            strip(data["vae_semseg"]), block_out_channels, num_upscalers),
+        "ema": None,
+        "step": int(data.get("step") or 0),
+    }
+
+    ema = data.get("ema")
+    if ema:
+        shadows = ema.get("shadow_params", ema)
+        if isinstance(shadows, dict):  # named variant: a plain state dict
+            ema_sd = strip(shadows)
+        else:
+            ema_sd = {k: np.asarray(v)
+                      for k, v in zip(unet_sd.keys(), shadows)}
+        out["ema"] = unet_params_from_sd(ema_sd, unet_config)
+    return out

@@ -132,6 +132,103 @@ def test_geglu_ff_parity():
     np.testing.assert_allclose(_np(ours), ref, rtol=1e-4, atol=1e-5)
 
 
+# --------------------------------------------------------------------------
+# torch-style state-dict writers (our tree -> diffusers key names); shared
+# by the hub-layout and reference-LDM import roundtrip tests
+# --------------------------------------------------------------------------
+
+def _put_conv(sd, name, p):
+    import torch as _torch
+    sd[f"{name}.weight"] = _torch.from_numpy(
+        _np(p["kernel"]).transpose(3, 2, 0, 1).copy())
+    sd[f"{name}.bias"] = _torch.from_numpy(_np(p["bias"]).copy())
+
+
+def _put_dense(sd, name, p):
+    import torch as _torch
+    sd[f"{name}.weight"] = _torch.from_numpy(
+        _np(p["kernel"]).transpose(1, 0).copy())
+    if "bias" in p:
+        sd[f"{name}.bias"] = _torch.from_numpy(_np(p["bias"]).copy())
+
+
+def _put_norm(sd, name, p):
+    import torch as _torch
+    sd[f"{name}.weight"] = _torch.from_numpy(_np(p["scale"]).copy())
+    sd[f"{name}.bias"] = _torch.from_numpy(_np(p["bias"]).copy())
+
+
+def _put_resnet(sd, name, p):
+    _put_norm(sd, f"{name}.norm1", p["norm1"])
+    _put_conv(sd, f"{name}.conv1", p["conv1"])
+    if "time_emb_proj" in p:
+        _put_dense(sd, f"{name}.time_emb_proj", p["time_emb_proj"])
+    _put_norm(sd, f"{name}.norm2", p["norm2"])
+    _put_conv(sd, f"{name}.conv2", p["conv2"])
+    if "conv_shortcut" in p:
+        _put_conv(sd, f"{name}.conv_shortcut", p["conv_shortcut"])
+
+
+def _put_attn(sd, name, p):
+    _put_dense(sd, f"{name}.to_q", p["to_q"])
+    _put_dense(sd, f"{name}.to_k", p["to_k"])
+    _put_dense(sd, f"{name}.to_v", p["to_v"])
+    _put_dense(sd, f"{name}.to_out.0", p["to_out"])
+
+
+def _put_transformer(sd, name, p):
+    _put_norm(sd, f"{name}.norm", p["norm"])
+    _put_conv(sd, f"{name}.proj_in", p["proj_in"])
+    _put_conv(sd, f"{name}.proj_out", p["proj_out"])
+    blk = p["block0"]
+    bp = f"{name}.transformer_blocks.0"
+    _put_norm(sd, f"{bp}.norm1", blk["norm1"])
+    _put_attn(sd, f"{bp}.attn1", blk["attn1"])
+    if "attn2" in blk:  # absent after cross-attention removal
+        _put_norm(sd, f"{bp}.norm2", blk["norm2"])
+        _put_attn(sd, f"{bp}.attn2", blk["attn2"])
+    _put_norm(sd, f"{bp}.norm3", blk["norm3"])
+    _put_dense(sd, f"{bp}.ff.net.0.proj", blk["ff"]["proj_in"])
+    _put_dense(sd, f"{bp}.ff.net.2", blk["ff"]["proj_out"])
+
+
+def _unet_sd_from_params(p, n_blocks=4, lpb=2):
+    """Write our UNet tree back out as a diffusers-style state dict."""
+    sd = {}
+    _put_conv(sd, "conv_in", p["conv_in"])
+    _put_dense(sd, "time_embedding.linear_1",
+               p["time_embedding"]["linear_1"])
+    _put_dense(sd, "time_embedding.linear_2",
+               p["time_embedding"]["linear_2"])
+    _put_norm(sd, "conv_norm_out", p["conv_norm_out"])
+    _put_conv(sd, "conv_out", p["conv_out"])
+    for i in range(n_blocks):
+        blk = p[f"down_blocks{i}"]
+        for j in range(lpb):
+            _put_resnet(sd, f"down_blocks.{i}.resnets.{j}",
+                        blk[f"resnet{j}"])
+            if f"attn{j}" in blk:
+                _put_transformer(sd, f"down_blocks.{i}.attentions.{j}",
+                                 blk[f"attn{j}"])
+        if "downsample" in blk:
+            _put_conv(sd, f"down_blocks.{i}.downsamplers.0.conv",
+                      blk["downsample"]["conv"])
+    _put_resnet(sd, "mid_block.resnets.0", p["mid_block"]["resnet0"])
+    _put_transformer(sd, "mid_block.attentions.0", p["mid_block"]["attn"])
+    _put_resnet(sd, "mid_block.resnets.1", p["mid_block"]["resnet1"])
+    for i in range(n_blocks):
+        blk = p[f"up_blocks{i}"]
+        for j in range(lpb + 1):
+            _put_resnet(sd, f"up_blocks.{i}.resnets.{j}", blk[f"resnet{j}"])
+            if f"attn{j}" in blk:
+                _put_transformer(sd, f"up_blocks.{i}.attentions.{j}",
+                                 blk[f"attn{j}"])
+        if "upsample" in blk:
+            _put_conv(sd, f"up_blocks.{i}.upsamplers.0.conv",
+                      blk["upsample"]["conv"])
+    return sd
+
+
 def test_torch_import_roundtrip(tmp_path):
     """Synthetic diffusers-style UNet state dict -> loaded tree matches our
     init tree leaf-for-leaf in shape, and the model runs with it."""
@@ -151,83 +248,7 @@ def test_torch_import_roundtrip(tmp_path):
 
     # build the torch-style state dict with diffusers key names by mapping
     # our tree back (exercises the name mapping in reverse)
-    sd = {}
-
-    def put_conv(name, p):
-        sd[f"{name}.weight"] = _torch.from_numpy(
-            _np(p["kernel"]).transpose(3, 2, 0, 1).copy())
-        sd[f"{name}.bias"] = _torch.from_numpy(_np(p["bias"]).copy())
-
-    def put_dense(name, p):
-        sd[f"{name}.weight"] = _torch.from_numpy(
-            _np(p["kernel"]).transpose(1, 0).copy())
-        if "bias" in p:
-            sd[f"{name}.bias"] = _torch.from_numpy(_np(p["bias"]).copy())
-
-    def put_norm(name, p):
-        sd[f"{name}.weight"] = _torch.from_numpy(_np(p["scale"]).copy())
-        sd[f"{name}.bias"] = _torch.from_numpy(_np(p["bias"]).copy())
-
-    def put_resnet(name, p):
-        put_norm(f"{name}.norm1", p["norm1"])
-        put_conv(f"{name}.conv1", p["conv1"])
-        if "time_emb_proj" in p:
-            put_dense(f"{name}.time_emb_proj", p["time_emb_proj"])
-        put_norm(f"{name}.norm2", p["norm2"])
-        put_conv(f"{name}.conv2", p["conv2"])
-        if "conv_shortcut" in p:
-            put_conv(f"{name}.conv_shortcut", p["conv_shortcut"])
-
-    def put_attn(name, p):
-        put_dense(f"{name}.to_q", p["to_q"])
-        put_dense(f"{name}.to_k", p["to_k"])
-        put_dense(f"{name}.to_v", p["to_v"])
-        put_dense(f"{name}.to_out.0", p["to_out"])
-
-    def put_transformer(name, p):
-        put_norm(f"{name}.norm", p["norm"])
-        put_conv(f"{name}.proj_in", p["proj_in"])
-        put_conv(f"{name}.proj_out", p["proj_out"])
-        blk = p["block0"]
-        put_norm(f"{name}.transformer_blocks.0.norm1", blk["norm1"])
-        put_attn(f"{name}.transformer_blocks.0.attn1", blk["attn1"])
-        put_norm(f"{name}.transformer_blocks.0.norm2", blk["norm2"])
-        put_attn(f"{name}.transformer_blocks.0.attn2", blk["attn2"])
-        put_norm(f"{name}.transformer_blocks.0.norm3", blk["norm3"])
-        put_dense(f"{name}.transformer_blocks.0.ff.net.0.proj",
-                  blk["ff"]["proj_in"])
-        put_dense(f"{name}.transformer_blocks.0.ff.net.2",
-                  blk["ff"]["proj_out"])
-
-    p = ref_params["params"]
-    put_conv("conv_in", p["conv_in"])
-    put_dense("time_embedding.linear_1", p["time_embedding"]["linear_1"])
-    put_dense("time_embedding.linear_2", p["time_embedding"]["linear_2"])
-    put_norm("conv_norm_out", p["conv_norm_out"])
-    put_conv("conv_out", p["conv_out"])
-    for i in range(4):
-        blk = p[f"down_blocks{i}"]
-        for j in range(2):
-            put_resnet(f"down_blocks.{i}.resnets.{j}", blk[f"resnet{j}"])
-            if f"attn{j}" in blk:
-                put_transformer(f"down_blocks.{i}.attentions.{j}",
-                                blk[f"attn{j}"])
-        if "downsample" in blk:
-            put_conv(f"down_blocks.{i}.downsamplers.0.conv",
-                     blk["downsample"]["conv"])
-    put_resnet("mid_block.resnets.0", p["mid_block"]["resnet0"])
-    put_transformer("mid_block.attentions.0", p["mid_block"]["attn"])
-    put_resnet("mid_block.resnets.1", p["mid_block"]["resnet1"])
-    for i in range(4):
-        blk = p[f"up_blocks{i}"]
-        for j in range(3):
-            put_resnet(f"up_blocks.{i}.resnets.{j}", blk[f"resnet{j}"])
-            if f"attn{j}" in blk:
-                put_transformer(f"up_blocks.{i}.attentions.{j}",
-                                blk[f"attn{j}"])
-        if "upsample" in blk:
-            put_conv(f"up_blocks.{i}.upsamplers.0.conv",
-                     blk["upsample"]["conv"])
+    sd = _unet_sd_from_params(ref_params["params"])
 
     os.makedirs(tmp_path / "unet", exist_ok=True)
     _torch.save(sd, tmp_path / "unet" / "diffusion_pytorch_model.bin")
@@ -247,6 +268,137 @@ def test_torch_import_roundtrip(tmp_path):
     out_new = model.apply(loaded, jnp.ones((1, 8, 8, 4)),
                           jnp.asarray([3]), jnp.ones((1, 3, 16)))
     np.testing.assert_allclose(_np(out_ref), _np(out_new), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_reference_ldm_import_roundtrip(tmp_path):
+    """Full fork stage-2 save dict {step, vae_image, vae_semseg, unet,
+    ema} (construct_save_dict, trainers_ldm_cond.py:1844-1877) ->
+    load_reference_ldm -> numerically identical forwards for all three
+    models, with the EMA shadow list mapped back onto the unet tree."""
+    import torch as _torch
+    from ldmseg_tpu.models import (UNet2DCondition, UNetConfig, SegVAE,
+                                   ImageVAE)
+    from ldmseg_tpu.models.torch_import import (
+        load_reference_ldm, seg_vae_key_map)
+
+    # UNet post-surgery: 8-ch conv_in, cross-attention removed
+    cfg = UNetConfig(in_channels=8, out_channels=4,
+                     block_out_channels=(8, 16, 16, 32), layers_per_block=2,
+                     cross_attention_dim=16, attention_head_dim=2,
+                     norm_num_groups=4, use_cross_attention=False)
+    unet = UNet2DCondition(config=cfg)
+    unet_params = jax.jit(unet.init)(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 8)),
+        jnp.zeros((1,), jnp.int32))
+    unet_sd = _unet_sd_from_params(unet_params["params"])
+
+    # EMA: diffusers EMAModel layout — shadow_params is a flat tensor list
+    # in parameters() order (== state-dict key order for the SD UNet)
+    ema_shadow = [v * 0.5 for v in unet_sd.values()]
+
+    # tiny SD-style image VAE (encoder only consumed downstream)
+    ivae = ImageVAE(block_out_channels=(32, 32, 32, 32),
+                    decoder_enabled=False)
+    import functools
+    ivae_params = jax.jit(functools.partial(
+        ivae.init, method=ImageVAE.encode))(
+        jax.random.key(1), jnp.zeros((1, 32, 32, 3)))
+    iv = ivae_params["params"]
+    ivae_sd = {}
+    _put_conv(ivae_sd, "encoder.conv_in", iv["encoder"]["conv_in"])
+    for i in range(4):
+        blk = iv["encoder"][f"down{i}"]
+        for j in range(2):
+            _put_resnet(ivae_sd, f"encoder.down_blocks.{i}.resnets.{j}",
+                        blk[f"resnet{j}"])
+        if "downsample" in blk:
+            _put_conv(ivae_sd,
+                      f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                      blk["downsample"])
+    _put_resnet(ivae_sd, "encoder.mid_block.resnets.0",
+                iv["encoder"]["mid_resnet0"])
+    _put_resnet(ivae_sd, "encoder.mid_block.resnets.1",
+                iv["encoder"]["mid_resnet1"])
+    ma = iv["encoder"]["mid_attn"]
+    _put_norm(ivae_sd, "encoder.mid_block.attentions.0.group_norm",
+              ma["group_norm"])
+    for nm, tnm in (("to_q", "to_q"), ("to_k", "to_k"), ("to_v", "to_v"),
+                    ("to_out", "to_out.0")):
+        _put_dense(ivae_sd, f"encoder.mid_block.attentions.0.{tnm}",
+                   ma[nm])
+    _put_norm(ivae_sd, "encoder.conv_norm_out", iv["encoder"]["norm_out"])
+    _put_conv(ivae_sd, "encoder.conv_out", iv["encoder"]["conv_out"])
+    _put_conv(ivae_sd, "quant_conv", iv["quant_conv"])
+
+    # seg VAE in the reference Sequential-index format
+    svae_cfg = dict(in_channels=10, int_channels=16, out_channels=16,
+                    block_out_channels=(8, 8, 16, 16), latent_channels=4,
+                    norm_num_groups=4, num_upscalers=2,
+                    upscale_channels=16)
+    svae = SegVAE(**svae_cfg)
+    svae_params = jax.jit(
+        lambda k, x: svae.init({"params": k, "sample": jax.random.key(0)},
+                               x, sample_posterior=False))(
+        jax.random.key(2), jnp.zeros((1, 32, 32, 10)))
+    keymap = seg_vae_key_map(svae_cfg["block_out_channels"],
+                             svae_cfg["num_upscalers"])
+    svae_sd = {}
+    for src, (group, name, kind) in keymap.items():
+        leaf = svae_params["params"][group][name]
+        if kind == "conv":
+            w = _np(leaf["kernel"]).transpose(3, 2, 0, 1)
+            b = _np(leaf["bias"])
+        elif kind == "convt":
+            w = _np(leaf["kernel"])[::-1, ::-1].transpose(2, 3, 0, 1)
+            b = _np(leaf["bias"])
+        elif kind == "norm":
+            w, b = _np(leaf["scale"]), _np(leaf["bias"])
+        else:
+            w = _np(leaf["ln"]["scale"])
+            b = _np(leaf["ln"]["bias"])
+        svae_sd[f"module.{src}.weight"] = _torch.from_numpy(w.copy())
+        svae_sd[f"module.{src}.bias"] = _torch.from_numpy(b.copy())
+
+    data = {"step": 1234, "epoch": 3,
+            "vae_image": ivae_sd, "vae_semseg": svae_sd,
+            "unet": {f"module.{k}": v for k, v in unet_sd.items()},
+            "ema": {"decay": 0.9999, "optimization_step": 1234,
+                    "shadow_params": ema_shadow},
+            "opt": None, "p": {}, "scaler": None}
+    _torch.save(data, tmp_path / "model.pt")
+
+    loaded = load_reference_ldm(
+        str(tmp_path / "model.pt"), cfg,
+        block_out_channels=svae_cfg["block_out_channels"],
+        num_upscalers=svae_cfg["num_upscalers"])
+    assert loaded["step"] == 1234
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 8), jnp.float32)
+    t = jnp.asarray([7])
+    np.testing.assert_allclose(
+        _np(unet.apply(loaded["unet"], x, t)),
+        _np(unet.apply(unet_params, x, t)), rtol=1e-5, atol=1e-6)
+    # EMA = 0.5 * weights, mapped through the same tree
+    half = jax.tree_util.tree_map(lambda a: 0.5 * a, unet_params)
+    np.testing.assert_allclose(
+        _np(unet.apply(loaded["ema"], x, t)),
+        _np(unet.apply(half, x, t)), rtol=1e-5, atol=1e-6)
+
+    rgb = jnp.asarray(np.random.RandomState(1).randn(1, 32, 32, 3),
+                      jnp.float32)
+    np.testing.assert_allclose(
+        _np(ivae.apply(loaded["vae_image"], rgb,
+                       method=ImageVAE.encode).mode()),
+        _np(ivae.apply(ivae_params, rgb, method=ImageVAE.encode).mode()),
+        rtol=1e-5, atol=1e-6)
+
+    bits = jnp.asarray(np.random.RandomState(2).randn(1, 32, 32, 10),
+                       jnp.float32)
+    out_ref, _ = svae.apply(svae_params, bits, sample_posterior=False)
+    out_new, _ = svae.apply(loaded["vae_semseg"], bits,
+                            sample_posterior=False)
+    np.testing.assert_allclose(_np(out_new), _np(out_ref), rtol=1e-5,
                                atol=1e-6)
 
 
