@@ -7,7 +7,7 @@ from .ddim import (
     remove_noise,
     ddim_step,
 )
-from .sampler import ddim_sample
+from .sampler import ddim_sample, ddim_refine
 
 __all__ = [
     "DDIMSchedule",
@@ -18,4 +18,5 @@ __all__ = [
     "remove_noise",
     "ddim_step",
     "ddim_sample",
+    "ddim_refine",
 ]

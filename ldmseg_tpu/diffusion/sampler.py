@@ -79,6 +79,48 @@ def ddim_sample(
     return final_x0
 
 
+def ddim_refine(
+    sched: DDIMSchedule,
+    model_fn: Callable,
+    x0: jnp.ndarray,
+    noise: jnp.ndarray,
+    num_inference_steps: int = 50,
+    strength: float = 0.3,
+    self_condition: bool = False,
+    tmin: int = 0,
+) -> jnp.ndarray:
+    """Partial (SDEdit-style) DDIM: re-noise an x0 estimate to the
+    timestep ``strength`` of the way up the inference schedule and run
+    only the remaining tail of the SAME trajectory the full sampler would
+    take. Used by pose-consistent clip sampling: frame latents blended
+    with the pose-warped anchor frame are refined back onto the model
+    manifold without paying for a full 50-step resample. No reference
+    counterpart (the fork's video story stops at ``repeat_noise``,
+    trainers_ldm_cond.py:1097-1098).
+    """
+    from .ddim import add_noise
+
+    ts_full = inference_timesteps(sched.num_train_timesteps,
+                                  num_inference_steps, tmin=tmin)
+    k = max(1, min(len(ts_full), int(round(strength * len(ts_full)))))
+    ts = jnp.asarray(ts_full[-k:])  # the low-noise tail, descending
+
+    b = x0.shape[0]
+    t_start = jnp.full((b,), ts_full[-k], dtype=jnp.int32)
+    latents = add_noise(sched, x0, noise, t_start)
+    condition0 = jnp.zeros_like(latents) if self_condition else None
+
+    def body(carry, t):
+        lat, condition, _ = carry
+        pred = model_fn(lat, condition, t)
+        prev, x0_ = ddim_step(sched, pred, t, lat, num_inference_steps)
+        return (prev, x0_ if self_condition else None, x0_), 0.0
+
+    init = (latents, condition0, jnp.zeros_like(latents))
+    (_, _, final_x0), _ = jax.lax.scan(body, init, ts)
+    return final_x0
+
+
 def cfg_model_fn(
     raw_model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     uncond_model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],

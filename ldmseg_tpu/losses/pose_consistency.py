@@ -56,6 +56,18 @@ def pose_vec_to_mat(pose: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([R, t[..., None]], axis=-1)
 
 
+def invert_pose_mat(T: jnp.ndarray) -> jnp.ndarray:
+    """Invert a ``[..., 3, 4]`` SE(3) transform: ``(R, t) -> (Rᵀ, -Rᵀt)``.
+    Used to warp the anchor frame's latent into each reference frame —
+    PoseExpNet predicts target->ref poses, the latent paste needs
+    ref->target (sample_panoptic_clip)."""
+    R = T[..., :3]
+    t = T[..., 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    return jnp.concatenate(
+        [Rt, -(Rt @ t[..., None])], axis=-1)
+
+
 def inverse_warp(
     ref: jnp.ndarray,
     depth: jnp.ndarray,
@@ -70,7 +82,8 @@ def inverse_warp(
     Args:
       ref: ``[B, H, W, C]`` reference frame.
       depth: ``[B, H, W]`` target-frame depth.
-      pose: ``[B, 6]`` target->reference relative pose.
+      pose: ``[B, 6]`` target->reference relative pose, or a ``[B, 3, 4]``
+        SE(3) matrix (e.g. from :func:`invert_pose_mat`).
       focal: ``[B]`` focal length in pixels (KITTI meta['focal']).
       cx/cy: principal point (default: image center).
 
@@ -89,9 +102,13 @@ def inverse_warp(
     y_cam = (ys - cy) / focal * depth
     pts = jnp.stack([x_cam, y_cam, depth], axis=-1)  # [B, H, W, 3]
 
-    T = pose_vec_to_mat(pose)  # [B, 3, 4]
+    T = pose_vec_to_mat(pose) if pose.ndim == 2 else pose  # [B, 3, 4]
     R, t = T[..., :3], T[..., 3]
-    pts_ref = jnp.einsum("bij,bhwj->bhwi", R, pts) + t[:, None, None, :]
+    # highest precision: the TPU default would run this 3x3 rotation in
+    # bf16, shifting projected pixel coords by ~0.7 px (tiny matmul, no
+    # measurable cost)
+    pts_ref = jnp.einsum("bij,bhwj->bhwi", R, pts,
+                         precision="highest") + t[:, None, None, :]
 
     z = jnp.maximum(pts_ref[..., 2], 1e-3)
     u = pts_ref[..., 0] / z * focal + cx

@@ -92,7 +92,8 @@ def prefetch_to_device(iterator, mesh: Mesh, size: int = 2,
         yield buf.popleft()
 
 
-def zero1_opt_state_sharding(mesh: Mesh, opt_state) -> object:
+def zero1_opt_state_sharding(mesh: Mesh, opt_state,
+                             tp: bool = False) -> object:
     """ZeRO-1 style sharding: each optimizer-state leaf is sharded over the
     ``data`` axis along its largest evenly-divisible dimension; leaves that
     cannot be divided stay replicated.
@@ -100,8 +101,32 @@ def zero1_opt_state_sharding(mesh: Mesh, opt_state) -> object:
     This mirrors ``ZeroRedundancyOptimizer`` (reference optim.py:102-126):
     the optimizer state (adam moments) is partitioned across data-parallel
     workers while parameters remain replicated.
+
+    ``tp``: compose with tensor parallelism — moment leaves first take the
+    TP spec of the parameter they mirror (the optax state paths embed the
+    param paths, so :func:`~ldmseg_tpu.parallel.tp.tp_spec_for` applies
+    directly), then the ``data`` axis is added on the first still-free
+    divisible dimension. ZeRO-1 and TP shard DIFFERENT axes of the same
+    moment tensor.
     """
     n = mesh.shape["data"]
+    n_model = mesh.shape.get("model", 1)
+    if tp and n_model > 1:
+        from .tp import tp_spec_for
+
+        def spec_for_tp(path, x):
+            if not hasattr(x, "ndim") or x.ndim == 0:
+                return NamedSharding(mesh, P())
+            base = list(tp_spec_for(path, x, n_model))
+            base += [None] * (x.ndim - len(base))
+            for axis in range(x.ndim):
+                if base[axis] is None and x.shape[axis] % n == 0 \
+                        and x.shape[axis] >= n:
+                    base[axis] = "data"
+                    break
+            return NamedSharding(mesh, P(*base))
+
+        return jax.tree_util.tree_map_with_path(spec_for_tp, opt_state)
 
     def spec_for(x):
         if not hasattr(x, "ndim") or x.ndim == 0:

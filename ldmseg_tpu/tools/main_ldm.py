@@ -61,9 +61,33 @@ def main(argv=None):
                 "gradient_checkpointing", False),
         )
 
+    # video-clip training (stage-3: pose-consistent LDM) — wrap the frame
+    # dataset into fixed-T clips; frames ride the batch axis in the
+    # train step and the consistency loss ties them (trainer_ldm)
+    clip_len = cfg["train_kwargs"].get("video_clips")
+    if clip_len:
+        from ldmseg_tpu.data.video import ClipDataset
+        train_ds = ClipDataset(train_ds, clip_len=int(clip_len))
+        print(f"Clip training: {len(train_ds)} clips of {clip_len}")
+
     trainer = TrainerDiffusion(cfg, unet_config=unet_config,
                                dataset=train_ds, val_dataset=val_ds,
                                results_folder=cfg["checkpoint_dir"])
+
+    # stage-3 handoff: adopt a trained pose net (main_pose.py) for the
+    # temporal-consistency loss + pose-warped clip sampling
+    pk = cfg.get("pose_model_kwargs") or {}
+    if pk.get("pretrained_path"):
+        import orbax.checkpoint as ocp
+        from ldmseg_tpu.models import PoseExpNet
+        restored = ocp.StandardCheckpointer().restore(
+            pk["pretrained_path"])
+        nb_ref = int(pk.get("nb_ref_imgs")
+                     or int(restored.get("nb_ref", 2)))
+        trainer.attach_pose(PoseExpNet(nb_ref_imgs=nb_ref),
+                            restored["params"])
+        print(f"Attached pose net ({nb_ref} ref frames) from "
+              f"{pk['pretrained_path']}")
 
     # ----- weight ingestion (main_ldm.py:138-169) -----
     unet_params = None
@@ -91,6 +115,22 @@ def main(argv=None):
         import orbax.checkpoint as ocp
         restored = ocp.StandardCheckpointer().restore(seg_path)
         vae_seg_params = restored["params"]
+
+    # warm-start / eval from a full reference stage-2 torch save dict
+    # (construct_save_dict, trainers_ldm_cond.py:1844-1877)
+    ref_ldm = cfg.get("pretrained_ldm_path")
+    if ref_ldm:
+        from ldmseg_tpu.models.torch_import import load_reference_ldm
+        vk = cfg["vae_model_kwargs"]
+        loaded = load_reference_ldm(
+            ref_ldm, trainer.unet_config,
+            block_out_channels=tuple(vk["block_out_channels"]),
+            num_upscalers=vk.get("num_upscalers", 1))
+        unet_params = loaded["ema"] or loaded["unet"]
+        vae_img_params = loaded["vae_image"]
+        vae_seg_params = loaded["vae_semseg"]
+        print(f"Loaded reference LDM checkpoint {ref_ldm} "
+              f"(step {loaded['step']}, ema={'yes' if loaded['ema'] else 'no'})")
 
     from ldmseg_tpu.data import Loader
     batch = next(iter(Loader(train_ds, cfg["train_kwargs"]["batch_size"],

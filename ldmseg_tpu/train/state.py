@@ -28,17 +28,21 @@ class TrainState:
 
     @classmethod
     def create(cls, params, tx, ema: bool = False, mesh=None,
-               zero1: bool = False, accumulate: int = 1):
+               zero1: bool = False, accumulate: int = 1,
+               tp: bool = False):
         """``zero1``: shard the optimizer state over the mesh's data axis
         (the ZeroRedundancyOptimizer equivalent, reference
         optim.py:102-126). ``accumulate``: gradient accumulation factor
-        (reference gradient_accumulate_every, trainers_ae.py:326-341)."""
+        (reference gradient_accumulate_every, trainers_ae.py:326-341).
+        ``tp``: the params are tensor-parallel over the mesh's model axis
+        — compose the ZeRO-1 data-axis sharding with the TP specs."""
         import jax.numpy as jnp
         opt_state = tx.init(params)
         if zero1 and mesh is not None:
             from ..parallel import zero1_opt_state_sharding
             opt_state = jax.device_put(
-                opt_state, zero1_opt_state_sharding(mesh, opt_state))
+                opt_state, zero1_opt_state_sharding(mesh, opt_state,
+                                                    tp=tp))
         zeros_like = lambda t: jax.tree_util.tree_map(  # noqa: E731
             jnp.zeros_like, t)
         return cls(

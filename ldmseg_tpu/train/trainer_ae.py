@@ -97,6 +97,7 @@ class TrainerAE:
             clip_grad=tk.get("clip_grad", 0.0),
         )
         self.state = None
+        self.best_pq = -1.0
         self.epoch = 0
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0,))
@@ -198,19 +199,44 @@ class TrainerAE:
         return save_train_panel(path, batch["image"][0],
                                 batch["semseg"][0], pred)
 
+    def _eval_during_training(self, step: int, eval_kw: dict):
+        """Periodic in-training eval + best-PQ snapshot (the reference AE
+        loop evaluates before training and per epoch, trainers_ae.py:398,
+        :391-445)."""
+        if self.ds_val is None:
+            return None
+        res = self.compute_metrics(("miou", "pq"), **eval_kw)
+        pq = res["pq"]["pq"]
+        if pq > self.best_pq:
+            self.best_pq = pq
+            self.save(step=None, tag="best_model")
+        self.metrics.log(step, pq=pq, miou=res["miou"]["mIoU"],
+                         best_pq=self.best_pq)
+        print(f"[eval @ step {step}] PQ {pq:.2f} "
+              f"mIoU {res['miou']['mIoU']:.4f} (best {self.best_pq:.2f})")
+        return res
+
     def train_loop(self, seed: int = 0, log_every: int = 20,
                    save_every: int = 1000, max_steps: Optional[int] = None,
-                   vis_every: Optional[int] = None):
+                   vis_every: Optional[int] = None,
+                   eval_every: Optional[int] = None,
+                   eval_kwargs: Optional[dict] = None):
         assert self.ds is not None, "no training dataset"
         from ..data import make_loader
         loader = make_loader(self.ds, self.batch_size, seed=seed)
         max_steps = max_steps or self.train_num_steps
+        if eval_every is None:
+            eval_every = self.p["eval_kwargs"].get("eval_every")
+        eval_kw = dict(eval_kwargs or {})
         meters = {k: AverageMeter(k, ":.4f")
                   for k in ("loss", "ce", "mask", "kl")}
         pending = []
         key = jax.random.key(seed)
 
         step = int(self.state.step) if self.state is not None else 0
+        if eval_every and self.state is not None:
+            # eval-before-train smoke pass (reference trainers_ae.py:398)
+            self._eval_during_training(step, eval_kw)
         epoch = 0
         t0 = time.time()
         while step < max_steps:
@@ -244,6 +270,8 @@ class TrainerAE:
                                               for k in meters})
                 if step % save_every == 0:
                     self.save(step)
+                if eval_every and step % eval_every == 0:
+                    self._eval_during_training(step, eval_kw)
                 if vis_every and step % vis_every == 0:
                     self.save_train_images(batch, step)
                 if step >= max_steps:
@@ -356,12 +384,12 @@ class TrainerAE:
         return ev.evaluate()
 
     # ------------------------------------------------------------------
-    def save(self, step: Optional[int] = None):
+    def save(self, step: Optional[int] = None, tag: Optional[str] = None):
         """orbax checkpoint with the reference's logical content
         (trainers_ae.py:534-548: step/epoch/vae/opt)."""
         import orbax.checkpoint as ocp
-        path = os.path.join(os.path.abspath(self.results_folder),
-                            f"step_{step or int(self.state.step)}")
+        name = tag or f"step_{step or int(self.state.step)}"
+        path = os.path.join(os.path.abspath(self.results_folder), name)
         ckptr = ocp.StandardCheckpointer()
         payload = {"params": self.state.params,
                    "opt_state": self.state.opt_state,

@@ -99,6 +99,12 @@ class TrainerDiffusion:
         self.cond_noise_level = tk.get("cond_noise_level", 0)
         self.prob_train_on_pred = tk.get("prob_train_on_pred", 0.0)
         self.prob_inpainting = tk.get("prob_inpainting", 0.0)
+        # pose-consistent video training/sampling (the fork's stated but
+        # unfinished goal, reference README.md:3-5; wired via attach_pose)
+        self.temporal_consistency_weight = tk.get(
+            "temporal_consistency_weight", 0.0)
+        self.pose_model = None
+        self._pending_pose_params = None
         self.type_mask = tk.get("type_mask", "ignore")
         self.loss_type = tk.get("loss", "l2")
         self.ohem_ratio = tk.get("ohem_ratio", 1.0)
@@ -222,13 +228,68 @@ class TrainerDiffusion:
         if self.descriptor.model is not None:
             # frozen CLIP text/vision tower (reference descriptors.py:70-93)
             frozen["descriptor"] = self.descriptor.model.params
+        if self._pending_pose_params is not None:
+            frozen["pose"] = self._pending_pose_params
+            self._pending_pose_params = None
         self.frozen_params = replicate(self.mesh, frozen)
+        tp = bool(self.p.get("tensor_parallel", False)) and \
+            self.mesh.shape.get("model", 1) > 1
+        if tp:
+            # 2-D (data, model) mesh: UNet kernels sharded col/row-parallel
+            # over the model axis (parallel/tp.py); GSPMD inserts the ICI
+            # collectives. Composes with ZeRO-1 (opt state takes the TP
+            # spec + a data-axis shard on a free dim).
+            from ..parallel.tp import apply_tp
+            unet_placed = apply_tp(self.mesh, unet_params)
+        else:
+            unet_placed = replicate(self.mesh, unet_params)
         self.state = TrainState.create(
-            replicate(self.mesh, unet_params), self.tx,
+            unet_placed, self.tx,
             ema=self.p.get("ema_on", False), mesh=self.mesh,
             zero1=self.p.get("optimizer_zero_redundancy", False),
-            accumulate=self.p["train_kwargs"].get("accumulate", 1))
+            accumulate=self.p["train_kwargs"].get("accumulate", 1),
+            tp=tp)
         return self.state
+
+    # ------------------------------------------------------------------
+    # pose ("pose-VAE") integration — the fork's stated goal
+    # (reference README.md:3-5; posenet/posenet.py:21-96 was never wired
+    # into its trainers)
+    # ------------------------------------------------------------------
+    def attach_pose(self, pose_model, pose_params):
+        """Stage-3 handoff: adopt a trained :class:`PoseExpNet` (frozen)
+        for (a) the clip-training temporal-consistency loss and (b)
+        pose-warped clip sampling. ``pose_model.nb_ref_imgs`` must be
+        ``clip_len - 1`` (target = middle frame, refs = the rest)."""
+        self.pose_model = pose_model
+        if self.frozen_params is not None:
+            self.frozen_params = dict(self.frozen_params,
+                                      pose=replicate(self.mesh,
+                                                     pose_params))
+        else:
+            self._pending_pose_params = pose_params
+
+    def _clip_poses(self, frozen, images_clip):
+        """``[B, T, H, W, 3]`` clip -> (poses ``[B, R, 6]``, mid, ref
+        frame indices). Pose net is frozen (stop-grad)."""
+        t = images_clip.shape[1]
+        mid = t // 2
+        ref_idx = [i for i in range(t) if i != mid]
+        ref_idx = ref_idx[: self.pose_model.nb_ref_imgs]
+        target = images_clip[:, mid]
+        refs = [images_clip[:, i] for i in ref_idx]
+        _, pose = self.pose_model.apply(frozen["pose"], target, refs,
+                                        train=False)
+        return jax.lax.stop_gradient(pose), mid, ref_idx
+
+    @staticmethod
+    def _latent_depth_focal(depth, focal, lh, lw):
+        """GT depth ``[B(, T), H, W]`` + focal ``[B]`` -> latent-res depth
+        and the focal scaled by the same downsampling factor."""
+        shape = depth.shape[:-2] + (lh, lw)
+        d = jax.image.resize(depth.astype(jnp.float32), shape, "nearest")
+        f = focal.astype(jnp.float32) * (lw / depth.shape[-1])
+        return d, f
 
     # ------------------------------------------------------------------
     # encoding (process_inputs, :679-767)
@@ -276,15 +337,15 @@ class TrainerDiffusion:
             return t
         if self.type_mask == "ignore":
             return (t != self.ignore_label).astype(jnp.float32)
-        # 'counts': 1 / class-pixel-count per pixel, 0 at ignore
+        # 'counts': 1 / class-pixel-count per pixel, 0 at ignore. Gather
+        # straight from the [B, C] table — no [B, HW, C] materialization.
         ti = t.astype(jnp.int32)
         hist = jax.vmap(
             lambda x: jnp.bincount(x.reshape(-1),
                                    length=self.num_classes))(ti)
         inv = 1.0 / jnp.maximum(hist, 1).astype(jnp.float32)
-        m = jnp.take_along_axis(
-            inv[:, None, :].repeat(lh * lw, axis=1),
-            ti.reshape(b, -1, 1), axis=-1).reshape(b, lh, lw)
+        m = jnp.take_along_axis(inv, ti.reshape(b, -1),
+                                axis=1).reshape(b, lh, lw)
         return jnp.where(ti == self.ignore_label, 0.0, m)
 
     # ------------------------------------------------------------------
@@ -332,15 +393,22 @@ class TrainerDiffusion:
 
     def _uncond_context(self, context, frozen):
         """Context for the CFG unconditional branch: empty-caption
-        embedding when a tokenizer exists, zeros otherwise."""
+        embedding when a tokenizer exists, zeros otherwise.
+
+        The empty-caption embedding is input-independent, so it is
+        computed ONCE (on device, batch 1) and cached; every eval batch
+        just broadcasts it — no repeated CLIP tower runs or host pulls."""
         if context is None:
             return None
         if self.descriptor.kind == "clip_text" and \
                 self.descriptor.tokenizer is not None:
-            ids = jnp.asarray(self.tokenize([""] * context.shape[0]))
-            out = self.descriptor.model(
-                input_ids=ids, params=jax.device_get(frozen["descriptor"]))
-            return jnp.asarray(out[0], jnp.float32)
+            if getattr(self, "_uncond_embed", None) is None:
+                ids = jnp.asarray(self.tokenize([""]))
+                out = self.descriptor.model(
+                    input_ids=ids, params=frozen["descriptor"])
+                self._uncond_embed = jnp.asarray(out[0], jnp.float32)
+            e = self._uncond_embed
+            return jnp.broadcast_to(e, (context.shape[0],) + e.shape[1:])
         return jnp.zeros_like(context)
 
     def _device_batch(self, batch) -> dict:
@@ -348,6 +416,15 @@ class TrainerDiffusion:
         keys = ("image", "image_semseg", "semseg", "mask",
                 "inpainting_mask")
         db = {k: batch[k] for k in keys if k in batch}
+        if (getattr(batch.get("image"), "ndim", 0) == 5
+                and self.pose_model is not None
+                and self.temporal_consistency_weight > 0):
+            # clip batch with pose-consistency training: the warp needs
+            # GT depth + focal (meta['focal'], default KITTI 707)
+            db["depth"] = np.asarray(batch["depth"], np.float32)
+            db["focal"] = np.asarray(
+                [float((m[0] if isinstance(m, list) else m).get("focal")
+                       or 707.0) for m in batch["meta"]], np.float32)
         spec = self.descriptor
         if spec.kind == "clip_text":
             toks = batch.get("text_tokens")
@@ -375,10 +452,32 @@ class TrainerDiffusion:
     def _train_step_impl(self, state: TrainState, frozen, batch,
                          key: jax.Array):
         keys = jax.random.split(key, 10)
+        # video-clip batches ([B, T, ...]) flatten frames onto the batch
+        # axis; the temporal-consistency loss below ties them back
+        clip_shape = None
+        if batch["image"].ndim == 5:
+            clip_shape = batch["image"].shape[:2]
+            frame_keys = ("image", "image_semseg", "semseg", "mask",
+                          "inpainting_mask")
+            batch = dict(batch, **{
+                k: batch[k].reshape((-1,) + batch[k].shape[2:])
+                for k in frame_keys if k in batch})
         latents, latents_mean, rgb_latents, loss_mask = self._encode_impl(
             frozen, batch, keys[0])
         b = latents.shape[0]
         context = self._context_impl(frozen, batch)
+
+        pose_info = None
+        if (clip_shape is not None and self.pose_model is not None
+                and self.temporal_consistency_weight > 0
+                and "depth" in batch):
+            images_clip = batch["image"].reshape(
+                clip_shape + batch["image"].shape[1:])
+            poses, mid, ref_idx = self._clip_poses(frozen, images_clip)
+            lh, lw = latents.shape[1:3]
+            d_lat, f_lat = self._latent_depth_focal(
+                batch["depth"], batch["focal"], lh, lw)
+            pose_info = (poses, mid, ref_idx, d_lat, f_lat)
 
         # (optional) train on own predictions (:738-744)
         if self.prob_train_on_pred > 0:
@@ -390,9 +489,17 @@ class TrainerDiffusion:
             latents = jnp.where(take, pred_latents, latents)
 
         noise = jax.random.normal(keys[3], latents.shape)
-        timesteps = jax.random.randint(
-            keys[4], (b,), self.min_noise_level,
-            self.sched.num_train_timesteps)
+        if clip_shape is not None:
+            # one timestep per CLIP (shared across its frames) so the
+            # frames' x0 estimates are comparable for the consistency term
+            bc, tt = clip_shape
+            timesteps = jnp.repeat(jax.random.randint(
+                keys[4], (bc,), self.min_noise_level,
+                self.sched.num_train_timesteps), tt)
+        else:
+            timesteps = jax.random.randint(
+                keys[4], (b,), self.min_noise_level,
+                self.sched.num_train_timesteps)
         noisy = add_noise(self.sched, latents, noise, timesteps)
 
         # (optional) inpainting: keep original latents where masked
@@ -440,10 +547,37 @@ class TrainerDiffusion:
                 pred, target, timesteps=timesteps,
                 schedule_weights=self.sched.weights, loss_mask=loss_mask,
                 loss_type=self.loss_type, ohem_ratio=self.ohem_ratio)
-            return loss, pred
 
-        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            cons = jnp.asarray(0.0)
+            if pose_info is not None:
+                # temporal consistency on the per-frame x0 estimates:
+                # warp each ref frame's x0 latent onto the middle frame
+                # via the (frozen) pose net and penalize disagreement —
+                # the seg-consistency objective the fork intended
+                # (README.md:3-5) applied in latent space
+                from ..losses.pose_consistency import inverse_warp
+                if self.sched.prediction_type == "epsilon":
+                    x0p = remove_noise(self.sched, noisy, pred, timesteps)
+                else:
+                    x0p = pred
+                bc_, tt_ = clip_shape
+                x0c = x0p.reshape((bc_, tt_) + x0p.shape[1:])
+                poses, mid, ref_idx, d_lat, f_lat = pose_info
+                total = 0.0
+                for i, r in enumerate(ref_idx):
+                    warped, valid = inverse_warp(
+                        x0c[:, r], d_lat[:, mid], poses[:, i], f_lat)
+                    valid = valid.astype(jnp.float32)
+                    num = jnp.sum(jnp.abs(warped - x0c[:, mid])
+                                  * valid[..., None])
+                    den = jnp.maximum(jnp.sum(valid) * x0p.shape[-1], 1.0)
+                    total = total + num / den
+                cons = total / len(ref_idx)
+                loss = loss + self.temporal_consistency_weight * cons
+            return loss, (pred, cons)
+
+        (loss, (pred, cons)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
 
         # x0 prediction for visualization (:607-613)
@@ -454,7 +588,8 @@ class TrainerDiffusion:
         if inpaint is not None:
             pred_x0 = jnp.where(inpaint > 0, latents_mean, pred_x0)
         metrics = {"loss": loss, "timestep_mean":
-                   jnp.mean(timesteps.astype(jnp.float32))}
+                   jnp.mean(timesteps.astype(jnp.float32)),
+                   "consistency": cons}
         return new_state, metrics, pred_x0
 
     def _predict_sample(self, params, latents, rgb_latents, key, tmax,
@@ -488,18 +623,39 @@ class TrainerDiffusion:
         return save_train_panel(path, batch["image"][0],
                                 batch["semseg"][0], pred)
 
+    def _eval_during_training(self, step: int, eval_kw: dict):
+        """Periodic in-training eval (reference train_loop evaluates at
+        step 0 and every ``eval_every``, keeping the best-PQ snapshot,
+        trainers_ldm_cond.py:922-923, :1366-1373)."""
+        if self.ds_val is None:
+            return None
+        res = self.compute_pq(save_model=True, **eval_kw)
+        self.metrics.log(step, pq=res["pq"], sq=res.get("sq"),
+                         rq=res.get("rq"), best_pq=self.best_pq)
+        print(f"[eval @ step {step}] PQ {res['pq']:.2f} "
+              f"(best {self.best_pq:.2f})")
+        return res
+
     def train_loop(self, seed: int = 0, log_every: int = 20,
                    save_every: int = 2000,
                    max_steps: Optional[int] = None,
-                   vis_every: Optional[int] = None):
+                   vis_every: Optional[int] = None,
+                   eval_every: Optional[int] = None,
+                   eval_kwargs: Optional[dict] = None):
         assert self.ds is not None
         from ..data import make_loader
         loader = make_loader(self.ds, self.batch_size, seed=seed)
         max_steps = max_steps or self.train_num_steps
+        if eval_every is None:
+            eval_every = self.p["eval_kwargs"].get("eval_every")
+        eval_kw = dict(eval_kwargs or {})
         meter = AverageMeter("loss", ":.4f")
         pending = []  # device losses; drained at log time (no per-step sync)
         key = jax.random.key(seed)
         step = int(self.state.step) if self.state is not None else 0
+        if eval_every and self.state is not None:
+            # eval-before-train smoke pass (reference :922-923)
+            self._eval_during_training(step, eval_kw)
         epoch = 0
         t0 = time.time()
         while step < max_steps:
@@ -523,6 +679,8 @@ class TrainerDiffusion:
                     self.metrics.log(step, loss=meter.val)
                 if step % save_every == 0:
                     self.save(step)
+                if eval_every and step % eval_every == 0:
+                    self._eval_during_training(step, eval_kw)
                 if step >= max_steps:
                     break
             epoch += 1
@@ -602,6 +760,146 @@ class TrainerDiffusion:
             guidance_scale=gs)
         return logits, x0
 
+    def _sample_clip_impl(self, unet_params, frozen, batch, key,
+                          num_inference_steps: int = 50,
+                          repeat_noise: bool = True,
+                          pose_warp: bool = True,
+                          refine_strength: float = 0.3,
+                          warp_blend: float = 0.5):
+        """Device-side clip sampling: per-frame DDIM (optionally with
+        clip-shared init noise), then — when a pose net is attached and
+        ``pose_warp`` — warp the middle frame's x0 latent into every other
+        frame (inverse predicted pose + GT depth), blend, and refine the
+        whole clip with a partial DDIM tail (``ddim_refine``). This is the
+        pose-consistent sampling the fork planned but never built
+        (README.md:3-5; its only temporal tool is repeat_noise,
+        trainers_ldm_cond.py:1097-1098)."""
+        from ..diffusion import ddim_refine
+        from ..losses.pose_consistency import (
+            pose_vec_to_mat, invert_pose_mat, inverse_warp)
+
+        imgs = batch["image"]
+        bc, tt = imgs.shape[:2]
+        flat_img = imgs.reshape((-1,) + imgs.shape[2:])
+        rgb = 2.0 * _unnormalize_to01(
+            flat_img).astype(self.compute_dtype) - 1.0
+        post = self.vae_img.apply(frozen["vae_img"], rgb,
+                                  method=ImageVAE.encode)
+        rgb_latents = post.mode().astype(jnp.float32) * self.img_scale
+        b, lh, lw, _ = rgb_latents.shape
+
+        def model_fn(latents, condition, t):
+            return self._unet_apply(unet_params, latents, rgb_latents,
+                                    condition, t, None, infer=True)
+
+        k_init, k_refine = jax.random.split(key)
+        init = jax.random.normal(k_init, (bc, 1 if repeat_noise else tt,
+                                          lh, lw, 4))
+        init = jnp.broadcast_to(init, (bc, tt, lh, lw, 4)).reshape(
+            b, lh, lw, 4)
+        x0 = ddim_sample(self.sched, model_fn, init,
+                         num_inference_steps=num_inference_steps,
+                         self_condition=self.self_condition)
+
+        if pose_warp and self.pose_model is not None:
+            images_clip = flat_img.reshape(imgs.shape)
+            poses, mid, ref_idx = self._clip_poses(frozen, images_clip)
+            d_lat, f_lat = self._latent_depth_focal(
+                batch["depth"], batch["focal"], lh, lw)
+            x0c = x0.reshape((bc, tt) + x0.shape[1:])
+            anchor = x0c[:, mid]
+            frames = [x0c[:, i] for i in range(tt)]
+            for i, r in enumerate(ref_idx):
+                # anchor -> frame r needs the INVERSE of the predicted
+                # target->ref pose
+                minv = invert_pose_mat(pose_vec_to_mat(poses[:, i]))
+                warped, valid = inverse_warp(anchor, d_lat[:, r], minv,
+                                             f_lat)
+                v = valid[..., None].astype(x0.dtype)
+                frames[r] = (1 - v * warp_blend) * frames[r] + \
+                    v * warp_blend * warped
+            blended = jnp.stack(frames, axis=1).reshape(x0.shape)
+            noise = jax.random.normal(k_refine, (bc, 1, lh, lw, 4))
+            noise = jnp.broadcast_to(noise, (bc, tt, lh, lw, 4)).reshape(
+                x0.shape)
+            x0 = ddim_refine(self.sched, model_fn, blended, noise,
+                             num_inference_steps=num_inference_steps,
+                             strength=refine_strength,
+                             self_condition=self.self_condition)
+
+        z = x0 * (1.0 / self.seg_scale)
+        logits = self.vae_seg.apply(frozen["vae_seg"], z, True,
+                                    method=SegVAE.decode)
+        return logits.astype(jnp.float32), x0
+
+    def sample_panoptic_clip(self, batch: dict, key: jax.Array,
+                             num_inference_steps: Optional[int] = None,
+                             repeat_noise: bool = True,
+                             pose_warp: bool = True,
+                             refine_strength: float = 0.3,
+                             warp_blend: float = 0.5):
+        """Clip batch ``[B, T, ...]`` -> per-frame logits/x0 (flattened to
+        ``[B*T, ...]``), with pose-warped frame-consistent sampling when a
+        pose net is attached (see ``_sample_clip_impl``)."""
+        if not hasattr(self, "_sample_clip"):
+            self._sample_clip = jax.jit(
+                self._sample_clip_impl,
+                static_argnames=("num_inference_steps", "repeat_noise",
+                                 "pose_warp", "refine_strength",
+                                 "warp_blend"))
+        db = {"image": jnp.asarray(batch["image"])}
+        if self.pose_model is not None and pose_warp:
+            db["depth"] = jnp.asarray(batch["depth"], jnp.float32)
+            db["focal"] = jnp.asarray(
+                [float((m[0] if isinstance(m, list) else m).get("focal")
+                       or 707.0) for m in batch["meta"]], jnp.float32) \
+                if batch.get("meta") else jnp.full(
+                    (batch["image"].shape[0],), 707.0, jnp.float32)
+        eval_params = self.state.eval_params()
+        if self.int8_inference:
+            eval_params = self._prequant(eval_params)
+        return self._sample_clip(
+            eval_params, self.frozen_params, db, key,
+            num_inference_steps=num_inference_steps or
+            self.num_inference_steps,
+            repeat_noise=repeat_noise,
+            pose_warp=pose_warp and self.pose_model is not None,
+            refine_strength=refine_strength, warp_blend=warp_blend)
+
+    def calibrate_int8(self, batch: dict, key=None,
+                       percentile: Optional[float] = None) -> dict:
+        """Measure per-site static int8 activation scales on a real batch
+        (ops.quant.calibrate_act_scale_tree) and thread them through
+        subsequent int8 sampling: the prequantized conv kernels gain
+        per-site ``act_scale`` entries, replacing the global
+        ``sampling_kwargs.int8_act_scale`` scalar. Returns the scales."""
+        from ..ops.quant import calibrate_act_scale_tree, apply_act_scales
+        assert self.int8_inference, "int8 inference not enabled"
+        key = key if key is not None else jax.random.key(0)
+        _, _, rgb_latents, _ = self._encode(self.frozen_params, {
+            k: jnp.asarray(batch[k]) for k in
+            ("image", "image_semseg", "semseg", "mask")}, key)
+        b, lh, lw, _ = rgb_latents.shape
+        noisy = jax.random.normal(key, (b, lh, lw, 4))
+        inp = jnp.concatenate(
+            [noisy.astype(self.compute_dtype),
+             rgb_latents.astype(self.compute_dtype)], axis=-1)
+        if self.unet_config.cond_channels:
+            inp = jnp.concatenate(
+                [inp, jnp.zeros((b, lh, lw, self.unet_config.cond_channels),
+                                self.compute_dtype)], axis=-1)
+        t = jnp.full((b,), self.sched.num_train_timesteps // 2, jnp.int32)
+        # calibrate on the bf16 (unquantized) UNet so captured norms see
+        # the true activation ranges
+        scales = calibrate_act_scale_tree(
+            functools.partial(self.unet.apply),
+            self.state.eval_params(), (inp, t), percentile=percentile)
+        self._int8_act_scales = scales
+        base = self._prequant
+        self._prequant = jax.jit(lambda p: apply_act_scales(base(p),
+                                                            scales))
+        return scales
+
     def compute_metrics(self, metrics=("pq",), **kw) -> dict:
         """Eval dispatcher (trainers_ldm_cond.py:990)."""
         out = {}
@@ -655,33 +953,55 @@ class TrainerDiffusion:
             self.save(step=None, tag="best_model")
         return results
 
-    def _eval_fullres(self, ev, logits, metas):
+    def _eval_fullres(self, ev, logits, metas, bucket: int = 128):
         """Restore each prediction to its own original resolution and
         score it against the full-res remapped GT (+ optional padding
         crop via meta['padding'] = (top, bottom, left, right), the
-        reference crop_padding at trainers_ldm_cond.py:1175)."""
-        from ..ops import panoptic_post_process
+        reference crop_padding at trainers_ldm_cond.py:1175).
+
+        Size-heterogeneous val sets (COCO) would recompile
+        ``jax.image.resize`` + post-process per distinct (oh, ow); instead
+        the bilinear restore is expressed as two host-built weight
+        matrices (``ops.resize.resize_weight_matrix`` — exact
+        ``jax.image.resize`` parity) contracted on device into a padded
+        ``bucket``-rounded canvas, with the out-of-image region excluded
+        via ``valid_mask``. Compiles once per bucket shape, not per
+        image; the padding crop folds into the weight matrices."""
+        from ..ops.resize import resize_weight_matrix
         c = logits.shape[-1]
+        ih, iw = logits.shape[1:3]
         for bi, m in enumerate(metas):
             li = logits[bi:bi + 1]
-            pad = m.get("padding")
-            if pad is not None:
-                t, b_, le, r = pad
-                hh, ww = li.shape[1:3]
-                li = li[:, t:hh - b_ if b_ else hh,
-                        le:ww - r if r else ww]
+            t, b_, le, r = m.get("padding") or (0, 0, 0, 0)
             oh, ow = m["gt_sem"].shape
-            li = jax.image.resize(li.astype(jnp.float32), (1, oh, ow, c),
-                                  "linear")
-            vm = None
-            if m.get("gt_mask") is not None:
-                vm = jnp.asarray(m["gt_mask"][None])
-            cleaned, _ = panoptic_post_process(
-                li, mask_th=self.mask_th, count_th=self.count_th,
-                overlap_th=self.overlap_th, ignore_label=self.ignore_label,
-                valid_mask=vm)
-            ev.add_image(np.asarray(cleaned)[0], m["gt_sem"],
+            bh = -(-oh // bucket) * bucket
+            bw = -(-ow // bucket) * bucket
+            # weight matrices over the CROPPED source geometry, embedded
+            # in full-source x padded-output canvases (zeros elsewhere)
+            wh = np.zeros((ih, bh), np.float32)
+            wh[t:ih - b_, :oh] = resize_weight_matrix(ih - t - b_, oh)
+            ww = np.zeros((iw, bw), np.float32)
+            ww[le:iw - r, :ow] = resize_weight_matrix(iw - le - r, ow)
+            valid = np.zeros((1, bh, bw), bool)
+            gm = m.get("gt_mask")
+            valid[0, :oh, :ow] = True if gm is None else \
+                np.asarray(gm).astype(bool)
+            cleaned = self._fullres_post(li, jnp.asarray(wh),
+                                         jnp.asarray(ww),
+                                         jnp.asarray(valid))
+            ev.add_image(np.asarray(cleaned)[0, :oh, :ow], m["gt_sem"],
                          m.get("gt_inst"))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _fullres_post(self, li, wh, ww, valid):
+        from ..ops import panoptic_post_process
+        resized = jnp.einsum("bhwc,hH,wW->bHWc", li.astype(jnp.float32),
+                             wh, ww, precision="highest")
+        cleaned, _ = panoptic_post_process(
+            resized, mask_th=self.mask_th, count_th=self.count_th,
+            overlap_th=self.overlap_th, ignore_label=self.ignore_label,
+            valid_mask=valid)
+        return cleaned
 
     # ------------------------------------------------------------------
     def save(self, step: Optional[int] = None, tag: Optional[str] = None):
@@ -731,13 +1051,25 @@ class TrainerDiffusion:
                   "best_pq": np.asarray(self.best_pq, np.float32)}
         if self.state.ema_params is not None:
             target["ema_params"] = self.state.ema_params
+        # optional keys (best_pq, ema_params) defensively: checkpoints
+        # written before these keys existed must still resume — probe the
+        # on-disk structure instead of failing with a structure mismatch
+        present = set(target)
+        try:
+            meta = ckptr.metadata(path)
+            tree = getattr(meta, "item_metadata", None) or meta
+            if hasattr(tree, "keys"):
+                present = set(tree.keys())
+        except Exception:
+            pass
+        target = {k: v for k, v in target.items() if k in present}
         restored = ckptr.restore(path, target)
         self.state = self.state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"]),
             ema_params=restored.get("ema_params",
                                     self.state.ema_params))
-        self.best_pq = float(restored["best_pq"])
+        self.best_pq = float(restored.get("best_pq", self.best_pq))
         print(f"Resumed from {path} at step {int(self.state.step)}")
         return path
 

@@ -136,6 +136,26 @@ class TrainerPose:
             epoch += 1
         return self.state
 
+    def save(self, step: Optional[int] = None, tag: Optional[str] = None):
+        """orbax checkpoint of the pose net (consumed by the stage-3
+        handoff: TrainerDiffusion.attach_pose / main_ldm
+        ``pose_model_kwargs.pretrained_path``)."""
+        import orbax.checkpoint as ocp
+        name = tag or f"step_{step if step is not None else 0}"
+        path = os.path.join(os.path.abspath(self.results_folder), name)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": self.state.params,
+                          "nb_ref": np.asarray(self.nb_ref)}, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def resume(self, path: str):
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(path)
+        self.state = self.state.replace(params=jax.tree_util.tree_map(
+            jnp.asarray, restored["params"]))
+        return path
+
     def predict_poses(self, batch) -> jnp.ndarray:
         """[B, T, H, W, 3] clip -> [B, R, 6] poses for downstream
         frame-consistent sampling."""

@@ -99,6 +99,16 @@ DEFAULT_CONFIG: dict = {
         "clip_grad": 3.0,
         "freeze_layers": ["time_embedding"],
         "gradient_checkpointing": False,
+        # stage-3 video: train on T-frame clips (None = per-frame) with a
+        # pose-warped latent temporal-consistency loss (trainer_ldm;
+        # finishes the fork's "pose-VAE" plan, reference README.md:3-5)
+        "video_clips": None,
+        "temporal_consistency_weight": 0.0,
+    },
+    # trained pose net for the stage-3 handoff (tools/main_pose.py)
+    "pose_model_kwargs": {
+        "pretrained_path": None,
+        "nb_ref_imgs": None,
     },
     "loss_weights": {"mask": 1.0, "ce": 1.0, "kl": 0.0},
     "loss_kwargs": {
@@ -135,6 +145,10 @@ DEFAULT_CONFIG: dict = {
         "num_workers": 2,
         "vis_every": 1500,
         "print_freq": 20,
+        # periodic in-training eval with best-PQ snapshot (reference
+        # cadence trainers_ldm_cond.py:922-923, :1366-1373); None = only
+        # from the CLI after training
+        "eval_every": None,
     },
     "optimizer_name": "adamw",
     "optimizer_kwargs": {

@@ -106,3 +106,42 @@ def test_ldm_checkpoint_roundtrip(tmp_path):
     leaf2 = np.asarray(jax.tree_util.tree_leaves(tr2.state.params)[0])
     np.testing.assert_allclose(leaf, leaf2)
     assert int(tr2.state.step) == 1
+
+
+def test_in_training_eval_produces_best_model(tmp_path):
+    """eval_every during train_loop runs compute_pq (step-0 pass
+    included), tracks best_pq, and writes a best_model checkpoint
+    (reference cadence trainers_ldm_cond.py:922-923, :1366-1373)."""
+    import os
+    tr, _ = _trainer(tmp_path)
+    tr.train_loop(max_steps=2, log_every=10, save_every=100, eval_every=2,
+                  eval_kwargs={"num_inference_steps": 2, "max_batches": 1})
+    assert tr.best_pq >= 0.0
+    assert os.path.isdir(os.path.join(str(tmp_path), "best_model"))
+    # eval metrics were logged to the sink
+    import json
+    with open(os.path.join(str(tmp_path), "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    assert any("pq" in r for r in rows)
+
+
+def test_ldm_resume_checkpoint_without_optional_keys(tmp_path):
+    """Checkpoints written before best_pq/ema_params existed must still
+    resume (optional keys restored defensively, not as a structure
+    mismatch)."""
+    import os
+    import orbax.checkpoint as ocp
+
+    tr, _ = _trainer(tmp_path)
+    tr.train_loop(max_steps=1, log_every=10, save_every=100)
+    old = os.path.join(str(tmp_path), "legacy", "step_1")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(old, {"params": tr.state.params,
+                     "opt_state": tr.state.opt_state,
+                     "step": np.asarray(tr.state.step)}, force=True)
+    ckptr.wait_until_finished()
+
+    tr2, _ = _trainer(tmp_path)
+    tr2.resume(old)
+    assert int(tr2.state.step) == 1
+    assert tr2.best_pq == tr.best_pq  # untouched default
