@@ -41,7 +41,8 @@ def main():
     unet_cfg = UNetConfig(in_channels=8, use_cross_attention=False,
                           use_fused_attention=True,
                           use_int8_conv=True, int8_act_scale=0.05,
-                          use_int8_ff=True, int8_attn_act_scale=0.1,
+                          use_int8_ff=True, use_fused_ff=True,
+                          int8_attn_act_scale=0.1,
                           use_int8_attention=True)
     unet = UNet2DCondition(config=unet_cfg)
     vae_img = ImageVAE(decoder_enabled=False, use_fused_attention=True,

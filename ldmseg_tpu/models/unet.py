@@ -70,15 +70,36 @@ class UNetConfig:
     use_pallas_gn: bool = False  # fused Pallas GroupNorm+SiLU in resnets
     use_fused_attention: bool = False  # Pallas VMEM-softmax self-attn
     use_packed_attention: bool = False  # [B,T,C]-layout Pallas self-attn
+    use_absorbed_attention: bool = False  # projections inside the kernel
     use_int8_conv: bool = False  # int8 MXU fast path for resnet 3x3 convs
     use_int8_attention: bool = False  # s8 matmuls inside the attn kernel
     use_int8_ff: bool = False  # s8 transformer feed-forward matmuls
+    use_fused_ff: bool = False  # fused s8 GEGLU Pallas kernel
     int8_act_scale: Optional[float] = None  # static act scale for int8
     # static q/k/v scale for the s8 attention kernel (None = dynamic
     # amax; attention inputs span wider ranges than GN+SiLU outputs)
     int8_attn_act_scale: Optional[float] = None
     int8_fuse_gn: bool = False  # fused GN+quant pass (inference only)
     gradient_checkpointing: bool = False  # remat down/mid/up blocks
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense`` (same name/shape tree) —
+    lets the absorbed-attention path hand the raw kernels to the Pallas
+    kernel while staying checkpoint-compatible with the Dense layout."""
+
+    features: int
+    in_features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features))
+        if not self.use_bias:
+            return kernel, None
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class CrossAttention(nn.Module):
@@ -93,11 +114,61 @@ class CrossAttention(nn.Module):
     use_fused: bool = False
     int8: bool = False
     packed: bool = False
+    absorbed: bool = False
     int8_act_scale: Optional[float] = None
+
+    def _absorbed(self, x):
+        """Projections + attention + out-projection in ONE Pallas call on
+        the native [B, T, C] layout (ops/pallas/attention.py
+        ``absorbed_self_attention*``): no head transposes, no layout
+        constraints forced on the surrounding matmuls, and (s8) a single
+        activation quantize per layer instead of per-projection sweeps."""
+        from ..ops.pallas.attention import (
+            absorbed_self_attention, absorbed_self_attention_s8,
+            quantize_head_weights)
+        inner = self.query_dim
+        head_dim = inner // self.heads
+        scale = head_dim**-0.5
+        kq, _ = _DenseParams(inner, inner, name="to_q")()
+        kk, _ = _DenseParams(inner, inner, name="to_k")()
+        kv, _ = _DenseParams(inner, inner, name="to_v")()
+        ko, bo = _DenseParams(inner, inner, use_bias=True,
+                              name="to_out")()
+        if isinstance(kq, dict):
+            # pre-quantized weights (prequantize_conv_tree, stored in the
+            # original [C, C] layout); re-split heads on int8 — tiny
+            hsplit8 = lambda w8: w8.reshape(  # noqa: E731
+                inner, self.heads, head_dim).transpose(1, 0, 2)
+            scales = jnp.zeros((self.heads, 8, 128), jnp.float32)
+            for i, leaf in enumerate((kq, kk, kv, ko)):
+                scales = scales.at[:, 0, i].set(leaf["scale"])
+            out = absorbed_self_attention_s8(
+                x, hsplit8(kq["q"]), hsplit8(kk["q"]), hsplit8(kv["q"]),
+                ko["q"].reshape(self.heads, head_dim, inner), scales,
+                self.heads, scale,
+                act_scale=self.int8_act_scale or 0.1)
+        elif self.int8:
+            # correctness path without prequantized weights: quantize
+            # in-graph (slow per-step; tests / non-scan callers)
+            wq8, wk8, wv8, wo8, scales = quantize_head_weights(
+                kq, kk, kv, ko, self.heads)
+            out = absorbed_self_attention_s8(
+                x, wq8, wk8, wv8, wo8, scales, self.heads, scale,
+                act_scale=self.int8_act_scale or 0.1)
+        else:
+            c = inner
+            hsplit = lambda w: w.reshape(  # noqa: E731
+                c, self.heads, head_dim).transpose(1, 0, 2)
+            out = absorbed_self_attention(
+                x, hsplit(kq), hsplit(kk), hsplit(kv),
+                ko.reshape(self.heads, head_dim, c), self.heads, scale)
+        return out + bo.astype(out.dtype)
 
     @nn.compact
     def __call__(self, x, context=None):
         is_self = context is None
+        if self.absorbed and is_self:
+            return self._absorbed(x)
         context = x if context is None else context
         inner = self.query_dim
         head_dim = inner // self.heads
@@ -151,10 +222,35 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     int8: bool = False  # s8 MXU matmuls (inference-only)
+    fused: bool = False  # whole GEGLU chain in one Pallas kernel
     int8_act_scale: Optional[float] = None
 
     @nn.compact
     def __call__(self, x):
+        if self.int8 and self.fused and x.ndim == 3:
+            # fused s8 GEGLU (ops/pallas/geglu.py): one VMEM pass for
+            # quantize -> W1 -> gate -> quantize -> W2, killing the
+            # [B, T, 2M] bf16 intermediate round-trips the trace shows as
+            # the standalone clamp_convert passes. Needs prequantized
+            # {"q","scale"} kernels (prequantize_conv_tree quantize_ff);
+            # unquantized trees fall through to the QuantDense path.
+            m2 = self.dim * self.mult * 2
+            k1, b1 = _DenseParams(m2, self.dim, use_bias=True,
+                                  name="proj_in")()
+            k2, b2 = _DenseParams(self.dim, m2 // 2, use_bias=True,
+                                  name="proj_out")()
+            if isinstance(k1, dict) and isinstance(k2, dict):
+                from ..ops.pallas.geglu import fused_geglu_s8
+                y = fused_geglu_s8(
+                    x, k1["q"], k1["scale"], b1, k2["q"], k2["scale"],
+                    act_scale=self.int8_act_scale or 0.05)
+                return y + b2.astype(y.dtype)
+            # fall through: rebuild the QuantDense math on raw kernels
+            from ..ops.quant import int8_dot
+            h = int8_dot(x, k1, self.int8_act_scale) + b1.astype(x.dtype)
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * nn.gelu(gate, approximate=False)
+            return int8_dot(h, k2, self.int8_act_scale) + b2.astype(x.dtype)
         if self.int8:
             from ..ops.quant import QuantDense
             Dense = functools.partial(QuantDense,
@@ -175,7 +271,9 @@ class BasicTransformerBlock(nn.Module):
     use_fused_attention: bool = False
     int8_attention: bool = False
     packed_attention: bool = False
+    absorbed_attention: bool = False
     int8_ff: bool = False
+    fused_ff: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
 
@@ -186,6 +284,7 @@ class BasicTransformerBlock(nn.Module):
                                use_fused=self.use_fused_attention,
                                int8=self.int8_attention,
                                packed=self.packed_attention,
+                               absorbed=self.absorbed_attention,
                                int8_act_scale=self.int8_attn_act_scale,
                                name="attn1")(h)
         if self.use_cross_attention:
@@ -197,6 +296,7 @@ class BasicTransformerBlock(nn.Module):
         # int8_act_scale=None keeps dynamic FF scales (more accurate,
         # rel 3.6% vs 5.3%/fwd); a static scale buys ~1 ms/fwd at b16
         x = x + FeedForward(self.dim, int8=self.int8_ff,
+                            fused=self.fused_ff,
                             int8_act_scale=self.int8_act_scale
                             if self.int8_ff else None,
                             name="ff")(h)
@@ -215,7 +315,9 @@ class Transformer2D(nn.Module):
     use_fused_attention: bool = False
     int8_attention: bool = False
     packed_attention: bool = False
+    absorbed_attention: bool = False
     int8_ff: bool = False
+    fused_ff: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
 
@@ -236,7 +338,9 @@ class Transformer2D(nn.Module):
                 use_fused_attention=self.use_fused_attention,
                 int8_attention=self.int8_attention,
                 packed_attention=self.packed_attention,
+                absorbed_attention=self.absorbed_attention,
                 int8_ff=self.int8_ff,
+                fused_ff=self.fused_ff,
                 int8_act_scale=self.int8_act_scale,
                 int8_attn_act_scale=self.int8_attn_act_scale,
                 name=f"block{i}")(y, context)
@@ -305,7 +409,9 @@ class DownBlock(nn.Module):
     use_fused_attention: bool = False
     int8_attention: bool = False
     packed_attention: bool = False
+    absorbed_attention: bool = False
     int8_ff: bool = False
+    fused_ff: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
@@ -329,7 +435,9 @@ class DownBlock(nn.Module):
                                   use_fused_attention=self.use_fused_attention,
                                   int8_attention=self.int8_attention,
                                   packed_attention=self.packed_attention,
+                                  absorbed_attention=self.absorbed_attention,
                                   int8_ff=self.int8_ff,
+                                  fused_ff=self.fused_ff,
                                   int8_act_scale=self.int8_act_scale,
                                   int8_attn_act_scale=self.int8_attn_act_scale,
                                   name=f"attn{i}")(x, context)
@@ -355,7 +463,9 @@ class UpBlock(nn.Module):
     use_fused_attention: bool = False
     int8_attention: bool = False
     packed_attention: bool = False
+    absorbed_attention: bool = False
     int8_ff: bool = False
+    fused_ff: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
@@ -383,7 +493,9 @@ class UpBlock(nn.Module):
                                   use_fused_attention=self.use_fused_attention,
                                   int8_attention=self.int8_attention,
                                   packed_attention=self.packed_attention,
+                                  absorbed_attention=self.absorbed_attention,
                                   int8_ff=self.int8_ff,
+                                  fused_ff=self.fused_ff,
                                   int8_act_scale=self.int8_act_scale,
                                   int8_attn_act_scale=self.int8_attn_act_scale,
                                   name=f"attn{i}")(x, context)
@@ -405,7 +517,9 @@ class MidBlockCrossAttn(nn.Module):
     use_fused_attention: bool = False
     int8_attention: bool = False
     packed_attention: bool = False
+    absorbed_attention: bool = False
     int8_ff: bool = False
+    fused_ff: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
@@ -425,7 +539,9 @@ class MidBlockCrossAttn(nn.Module):
                           use_fused_attention=self.use_fused_attention,
                           int8_attention=self.int8_attention,
                           packed_attention=self.packed_attention,
+                          absorbed_attention=self.absorbed_attention,
                           int8_ff=self.int8_ff,
+                          fused_ff=self.fused_ff,
                           int8_act_scale=self.int8_act_scale,
                           int8_attn_act_scale=self.int8_attn_act_scale,
                           name="attn")(x, context)
@@ -549,7 +665,9 @@ class UNet2DCondition(nn.Module):
                     use_fused_attention=cfg.use_fused_attention,
                     int8_attention=cfg.use_int8_attention,
                     packed_attention=cfg.use_packed_attention,
+                    absorbed_attention=cfg.use_absorbed_attention,
                     int8_ff=cfg.use_int8_ff,
+                    fused_ff=cfg.use_fused_ff,
                     int8_attn_act_scale=cfg.int8_attn_act_scale,
                     name=f"down_blocks_img{i}")(x_img, emb_img, context)
                 if cfg.add_adaptor:
@@ -589,7 +707,9 @@ class UNet2DCondition(nn.Module):
                 use_fused_attention=cfg.use_fused_attention,
                 int8_attention=cfg.use_int8_attention,
                 packed_attention=cfg.use_packed_attention,
+                absorbed_attention=cfg.use_absorbed_attention,
                 int8_ff=cfg.use_int8_ff,
+                fused_ff=cfg.use_fused_ff,
                 int8_attn_act_scale=cfg.int8_attn_act_scale,
                 name=f"down_blocks{i}")(x, emb, context)
             res_stack.extend(res)
@@ -610,7 +730,9 @@ class UNet2DCondition(nn.Module):
             use_fused_attention=cfg.use_fused_attention,
             int8_attention=cfg.use_int8_attention,
             packed_attention=cfg.use_packed_attention,
+            absorbed_attention=cfg.use_absorbed_attention,
             int8_ff=cfg.use_int8_ff,
+            fused_ff=cfg.use_fused_ff,
             int8_attn_act_scale=cfg.int8_attn_act_scale,
             name="mid_block")(x, emb, context)
 
@@ -638,7 +760,9 @@ class UNet2DCondition(nn.Module):
                 use_fused_attention=cfg.use_fused_attention,
                 int8_attention=cfg.use_int8_attention,
                 packed_attention=cfg.use_packed_attention,
+                absorbed_attention=cfg.use_absorbed_attention,
                 int8_ff=cfg.use_int8_ff,
+                fused_ff=cfg.use_fused_ff,
                 int8_attn_act_scale=cfg.int8_attn_act_scale,
                 upsample_size=upsample_size,
                 name=f"up_blocks{i}")(x, res_samples, emb, context)

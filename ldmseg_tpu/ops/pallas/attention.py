@@ -229,6 +229,271 @@ def fused_self_attention_packed_s8(
     return out.astype(q.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Absorbed-projection attention: to_q/k/v and to_out live INSIDE the kernel
+# ---------------------------------------------------------------------------
+
+def _attn_kernel_absorbed(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, o_ref,
+                          acc_ref, *, scale: float, heads: int):
+    """One (batch, head) grid step: project the native-layout token block
+    ``x [T, C]`` with this head's weight slices, run attention, and
+    accumulate ``oh @ Wo[h]`` into a fp32 VMEM scratch; the output block
+    is written once on the last head.
+
+    Why: the flat kernel's [B,T,H,D]->[BH,T,D] transposes force layout
+    {1,2,0} on the XLA matmuls around the custom call (profiled ~20% MFU
+    on to_q/k/v/to_out + feed-forward, BENCH_NOTES.md "where the time
+    goes"). With the projections absorbed, the custom call consumes and
+    produces the network's NATIVE [B, T, C] layout — no transposes, no
+    layout constraints leak into the surrounding graph, and the
+    projection matmuls ride the MXU inside the kernel."""
+    h = pl.program_id(1)
+    x = x_ref[0]                        # [T, C]
+    qh = jnp.dot(x, wq_ref[0],
+                 preferred_element_type=jnp.float32)        # [T, D]
+    kh = jnp.dot(x, wk_ref[0],
+                 preferred_element_type=jnp.float32)
+    vh = jnp.dot(x, wv_ref[0],
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+    s = jax.lax.dot_general(
+        qh.astype(x.dtype), kh.astype(x.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale         # [T, T]
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    oh = jnp.dot(p.astype(x.dtype), vh,
+                 preferred_element_type=jnp.float32)        # [T, D]
+    contrib = jnp.dot(oh.astype(x.dtype), wo_ref[0],
+                      preferred_element_type=jnp.float32)   # [T, C]
+
+    @pl.when(h == 0)
+    def _init():
+        acc_ref[...] = contrib
+
+    @pl.when(h > 0)
+    def _acc():
+        acc_ref[...] = acc_ref[...] + contrib
+
+    @pl.when(h == heads - 1)
+    def _out():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _absorbed_impl(x, wq, wk, wv, wo, scale):
+    b, t, c = x.shape
+    heads, _, d = wq.shape
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_absorbed, scale=scale, heads=heads),
+        grid=(b, heads),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, d), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, d), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, d), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, c), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((t, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(x, wq, wk, wv, wo)
+
+
+def _xla_absorbed(x, wq, wk, wv, wo, scale):
+    heads, c, d = wq.shape
+    q = jnp.einsum("btc,hcd->bthd", x, wq)
+    k = jnp.einsum("btc,hcd->bthd", x, wk)
+    v = jnp.einsum("btc,hcd->bthd", x, wv)
+    out = _xla_bthd(q, k, v, scale)
+    return jnp.einsum("bthd,hdc->btc", out, wo).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _absorbed_attention(x, wq, wk, wv, wo, scale):
+    return _absorbed_impl(x, wq, wk, wv, wo, scale)
+
+
+def _fwd_absorbed(x, wq, wk, wv, wo, scale):
+    return _absorbed_impl(x, wq, wk, wv, wo, scale), (x, wq, wk, wv, wo)
+
+
+def _bwd_absorbed(scale, res, g):
+    x, wq, wk, wv, wo = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d_, e: _xla_absorbed(a, b, c, d_, e, scale),
+        x, wq, wk, wv, wo)
+    return vjp(g)
+
+
+_absorbed_attention.defvjp(_fwd_absorbed, _bwd_absorbed)
+
+
+def absorbed_self_attention(
+    x: jnp.ndarray,
+    wq: jnp.ndarray, wk: jnp.ndarray, wv: jnp.ndarray, wo: jnp.ndarray,
+    heads: int, scale: float, max_seq: int = 2048,
+) -> jnp.ndarray:
+    """Self-attention with projections absorbed: ``x [B, T, C]`` (native
+    token layout), weights as per-head slices ``wq/wk/wv [H, C, D]``,
+    ``wo [H, D, C]`` (reshaped from the ``nn.Dense`` [C, C] kernels).
+    Returns ``x_out [B, T, C]`` = attention(x) @ Wo (to_out bias is added
+    by the caller). Falls back to an einsum formulation off-TPU or on
+    shapes the kernel can't tile."""
+    b, t, c = x.shape
+    d = c // heads
+    if (t > max_seq or t % 8 != 0 or c % heads != 0 or d % 8 != 0
+            or jax.default_backend() == "cpu"):
+        return _xla_absorbed(x, wq, wk, wv, wo, scale)
+    return _absorbed_attention(x, wq, wk, wv, wo, scale)
+
+
+def _attn_kernel_absorbed_s8(x_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                             sc_ref, o_ref, acc_ref, *, scale: float,
+                             heads: int):
+    """s8 absorbed-projection attention. The token block ``x`` arrives
+    int8 (ONE static-scale quantize per layer instead of three per-tensor
+    quantizes of q/k/v — the b16 trace shows those standalone
+    clamp+convert sweeps cost 7.3 ms/fwd); weights arrive pre-quantized
+    per-head per-tensor. All five matmuls ride the s8 MXU; the
+    intermediate [T, D] head tensors are re-quantized in VMEM (cheap VPU
+    work — 50x smaller than the [T, T] score tensors that made in-kernel
+    quantization lose in round 2)."""
+    h = pl.program_id(1)
+    x = x_ref[0]                        # [T, C] int8
+    xs = sc_ref[0, 0, 4]
+
+    def proj(w_ref, widx):
+        y32 = jax.lax.dot_general(
+            x, w_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)               # [T, D]
+        y = y32.astype(jnp.float32) * (xs * sc_ref[0, 0, widx])
+        amax = jnp.maximum(jnp.max(jnp.abs(y)), 1e-6)
+        ys = amax / 127.0
+        y8 = jnp.round(y / ys).astype(jnp.int8)
+        return y8, ys
+
+    q8, qs = proj(wq_ref, 0)
+    k8, ks = proj(wk_ref, 1)
+    v8, vs = proj(wv_ref, 2)
+    s32 = jax.lax.dot_general(
+        q8, k8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                   # [T, T]
+    s = s32.astype(jnp.float32) * (qs * ks * scale)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)                                          # rowmax == 1
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    e8 = jnp.round(e * 127.0).astype(jnp.int8)
+    o32 = jax.lax.dot_general(
+        e8, v8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                   # [T, D]
+    oh = o32.astype(jnp.float32) * (vs / 127.0) / denom
+    oamax = jnp.maximum(jnp.max(jnp.abs(oh)), 1e-6)
+    os_ = oamax / 127.0
+    oh8 = jnp.round(oh / os_).astype(jnp.int8)
+    c32 = jax.lax.dot_general(
+        oh8, wo_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                   # [T, C]
+    contrib = c32.astype(jnp.float32) * (os_ * sc_ref[0, 0, 3])
+
+    @pl.when(h == 0)
+    def _init():
+        acc_ref[...] = contrib
+
+    @pl.when(h > 0)
+    def _acc():
+        acc_ref[...] = acc_ref[...] + contrib
+
+    @pl.when(h == heads - 1)
+    def _out():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _absorbed_s8_impl(x8, wq8, wk8, wv8, wo8, sc, scale):
+    b, t, c = x8.shape
+    heads, _, d = wq8.shape
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_absorbed_s8, scale=scale,
+                          heads=heads),
+        grid=(b, heads),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, d), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, d), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, d), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, c), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x8.shape, jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((t, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(x8, wq8, wk8, wv8, wo8, sc)
+
+
+def quantize_head_weights(wq, wk, wv, wo, heads):
+    """Host/prequant-time: split the [C, C] Dense kernels into per-head
+    s8 slices + a per-head scale tile for the absorbed s8 kernel.
+
+    Returns (wq8/wk8/wv8 [H, C, D] int8, wo8 [H, D, C] int8,
+    scales [H, 8, 128] f32 with lanes (wq, wk, wv, wo) at [h, 0, 0..3];
+    the caller writes the x act scale at [h, 0, 4])."""
+    c = wq.shape[0]
+    d = c // heads
+    hsplit = lambda w: w.reshape(c, heads, d).transpose(1, 0, 2)  # noqa
+    out8 = []
+    scales = jnp.zeros((heads, 8, 128), jnp.float32)
+    for i, w in enumerate((hsplit(wq), hsplit(wk), hsplit(wv),
+                           wo.reshape(heads, d, c))):
+        amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(1, 2))
+        s = jnp.maximum(amax, 1e-8) / 127.0
+        out8.append(jnp.round(w.astype(jnp.float32)
+                              / s[:, None, None]).astype(jnp.int8))
+        scales = scales.at[:, 0, i].set(s)
+    return (*out8, scales)
+
+
+def absorbed_self_attention_s8(
+    x: jnp.ndarray, wq8, wk8, wv8, wo8, scales,
+    heads: int, scale: float, act_scale: float,
+    max_seq: int = 2048,
+) -> jnp.ndarray:
+    """s8 absorbed-projection self-attention. ``x [B, T, C]`` float in
+    the native token layout; weights from :func:`quantize_head_weights`
+    (``wq8/wk8/wv8 [H, C, D]``, ``wo8 [H, D, C]``, per-head scales tile).
+    ``act_scale``: static per-tensor scale for x (one quantize per
+    layer). Off-TPU / misaligned shapes fall back to the dequantized
+    einsum formulation (same weights, float math)."""
+    b, t, c = x.shape
+    d = c // heads
+    if (t > max_seq or t % 8 != 0 or c % heads != 0 or d % 8 != 0
+            or jax.default_backend() == "cpu"):
+        deq = lambda w8, i, tr=False: (  # noqa: E731
+            w8.astype(jnp.float32)
+            * scales[:, 0, i][:, None, None])
+        return _xla_absorbed(x, deq(wq8, 0), deq(wk8, 1), deq(wv8, 2),
+                             deq(wo8, 3), scale).astype(x.dtype)
+    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
+                  -127, 127).astype(jnp.int8)
+    sc = scales.at[:, 0, 4].set(jnp.float32(act_scale))
+    return _absorbed_s8_impl(x8, wq8, wk8, wv8, wo8, sc,
+                             scale).astype(x.dtype)
+
+
 def _fused_impl(q, k, v, scale, block_q):
     bh, t, d = q.shape
     block_q = min(block_q, t)

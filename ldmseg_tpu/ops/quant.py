@@ -161,17 +161,28 @@ def prequantize_conv_tree(params, quantize_ff: bool = False,
                 # ._absorbed consumes {"q", "scale"} dict leaves; the
                 # UNet must be built with use_absorbed_attention)
                 from ..ops.pallas.attention import quantize_head_weights
+                h = attention_heads
+                c = v["to_q"]["kernel"].shape[0]
                 wq8, wk8, wv8, wo8, scales = quantize_head_weights(
                     v["to_q"]["kernel"], v["to_k"]["kernel"],
-                    v["to_v"]["kernel"], v["to_out"]["kernel"],
-                    attention_heads)
+                    v["to_v"]["kernel"], v["to_out"]["kernel"], h)
+                # store int8 values back in the ORIGINAL [C, C] layout
+                # (per-head scales) — flax validates the first sorted
+                # leaf of a stored param against the declared kernel
+                # shape, and the module re-splits heads on int8 for free
+                flat_qkv = lambda w8: jnp.transpose(  # noqa: E731
+                    w8, (1, 0, 2)).reshape(c, c)
                 out[k] = dict(
                     v,
-                    to_q={"kernel": {"q": wq8, "scale": scales[:, 0, 0]}},
-                    to_k={"kernel": {"q": wk8, "scale": scales[:, 0, 1]}},
-                    to_v={"kernel": {"q": wv8, "scale": scales[:, 0, 2]}},
+                    to_q={"kernel": {"q": flat_qkv(wq8),
+                                     "scale": scales[:, 0, 0]}},
+                    to_k={"kernel": {"q": flat_qkv(wk8),
+                                     "scale": scales[:, 0, 1]}},
+                    to_v={"kernel": {"q": flat_qkv(wv8),
+                                     "scale": scales[:, 0, 2]}},
                     to_out=dict(v["to_out"], kernel={
-                        "q": wo8, "scale": scales[:, 0, 3]}))
+                        "q": wo8.reshape(c, c),
+                        "scale": scales[:, 0, 3]}))
             elif (quantize_ff and k == "ff" and isinstance(v, dict)
                     and set(v) == {"proj_in", "proj_out"}
                     and all(getattr(v[m].get("kernel"), "ndim", 0) == 2

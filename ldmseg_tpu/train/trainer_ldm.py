@@ -137,6 +137,9 @@ class TrainerDiffusion:
                 int8_act_scale=sk.get("int8_act_scale", 0.05),
                 use_int8_attention=True,
                 use_int8_ff=True,
+                # fused s8 GEGLU kernel: the whole feed-forward chain in
+                # one VMEM pass (-3.6 ms/fwd at b16, BENCH_NOTES r3)
+                use_fused_ff=sk.get("fused_ff", True),
                 use_fused_attention=True))
             from ..ops.quant import prequantize_conv_tree
             self._prequant = jax.jit(functools.partial(
@@ -620,8 +623,12 @@ class TrainerDiffusion:
             "linear")
         pred = np.asarray(jnp.argmax(logits, axis=-1))[0]
         path = os.path.join(self.results_folder, f"rgb_gt_pred_{step}.jpg")
-        return save_train_panel(path, batch["image"][0],
-                                batch["semseg"][0], pred)
+        out = save_train_panel(path, batch["image"][0],
+                               batch["semseg"][0], pred)
+        # mirror the panel to wandb (reference log_images_train posts the
+        # grid, trainers_ldm_cond.py:1481-1512)
+        self.metrics.log_image(step, "train_panel", path)
+        return out
 
     def _eval_during_training(self, step: int, eval_kw: dict):
         """Periodic in-training eval (reference train_loop evaluates at

@@ -300,6 +300,206 @@ def test_unet_packed_attention_builds():
                                atol=2e-5)
 
 
+def test_absorbed_attention_kernel_interpret_mode():
+    """Absorbed-projection kernel (to_q/k/v + attention + to_out in one
+    pallas call, per-head accumulation over the grid) must reproduce the
+    projection+attention+projection reference exactly."""
+    import functools
+    from jax.experimental.pallas import tpu as pltpu
+    from ldmseg_tpu.ops.pallas.attention import (
+        _attn_kernel_absorbed, _xla_absorbed)
+    b, t, heads, d = 2, 32, 4, 8
+    c = heads * d
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    wq = jnp.asarray(rng.randn(heads, c, d), jnp.float32) * 0.1
+    wk = jnp.asarray(rng.randn(heads, c, d), jnp.float32) * 0.1
+    wv = jnp.asarray(rng.randn(heads, c, d), jnp.float32) * 0.1
+    wo = jnp.asarray(rng.randn(heads, d, c), jnp.float32) * 0.1
+    scale = d**-0.5
+    xspec = pl.BlockSpec((1, t, c), lambda i, j: (i, 0, 0))
+    wspec = pl.BlockSpec((1, c, d), lambda i, j: (j, 0, 0))
+    ospec = pl.BlockSpec((1, d, c), lambda i, j: (j, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_absorbed, scale=scale, heads=heads),
+        grid=(b, heads),
+        in_specs=[xspec, wspec, wspec, wspec, ospec],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((t, c), jnp.float32)],
+        interpret=True)(x, wq, wk, wv, wo)
+    ref = _xla_absorbed(x, wq, wk, wv, wo, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_absorbed_attention_dispatch_and_grad():
+    """CPU fallback of the absorbed dispatch matches the flat-path
+    reference (proj -> attention -> proj) and differentiates."""
+    from ldmseg_tpu.ops.pallas.attention import (
+        absorbed_self_attention, _xla_bthd)
+    b, t, heads, d = 1, 16, 2, 8
+    c = heads * d
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    wq, wk, wv, wo = (jnp.asarray(rng.randn(c, c), jnp.float32) * 0.1
+                      for _ in range(4))
+    scale = d**-0.5
+    hsplit = lambda w: w.reshape(c, heads, d).transpose(1, 0, 2)  # noqa
+    out = absorbed_self_attention(x, hsplit(wq), hsplit(wk), hsplit(wv),
+                                  wo.reshape(heads, d, c), heads, scale)
+    q = (x @ wq).reshape(b, t, heads, d)
+    k = (x @ wk).reshape(b, t, heads, d)
+    v = (x @ wv).reshape(b, t, heads, d)
+    ref = _xla_bthd(q, k, v, scale).reshape(b, t, c) @ wo
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+    g = jax.grad(lambda a: absorbed_self_attention(
+        a, hsplit(wq), hsplit(wk), hsplit(wv), wo.reshape(heads, d, c),
+        heads, scale).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_unet_absorbed_attention_builds_and_prequantizes():
+    """UNet with use_absorbed_attention keeps the Dense param tree (same
+    checkpoint layout), matches the plain UNet numerically on CPU, and
+    prequantize_conv_tree(absorbed_attention=True) packs the attention
+    kernels into per-head s8 dicts."""
+    from ldmseg_tpu.models import UNet2DCondition, UNetConfig
+    from ldmseg_tpu.ops.quant import prequantize_conv_tree
+    base = dict(in_channels=4, block_out_channels=(32, 64),
+                layers_per_block=1, attn_down=(True, True),
+                attention_head_dim=2, norm_num_groups=8,
+                use_cross_attention=False)
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
+    t = jnp.array([3, 7], jnp.int32)
+    u0 = UNet2DCondition(config=UNetConfig(**base))
+    u1 = UNet2DCondition(config=UNetConfig(**base,
+                                           use_absorbed_attention=True))
+    p = u0.init(jax.random.key(0), x, t)
+    p1 = u1.init(jax.random.key(0), x, t)
+    assert jax.tree_util.tree_structure(p) == \
+        jax.tree_util.tree_structure(p1)
+    y0 = u0.apply(p, x, t)
+    y1 = u1.apply(p, x, t)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=2e-5,
+                               atol=2e-5)
+
+    pq = prequantize_conv_tree(p, absorbed_attention=True,
+                               attention_heads=2)
+    blk = pq["params"]["down_blocks0"]["attn0"]["block0"]["attn1"]
+    for nm in ("to_q", "to_k", "to_v", "to_out"):
+        leaf = blk[nm]["kernel"]
+        assert set(leaf) == {"q", "scale"}
+        # int8 values stay in the original [C, C] layout (flax validates
+        # the first sorted leaf's shape); per-head scales ride alongside
+        assert leaf["q"].shape == (32, 32) and leaf["q"].dtype == jnp.int8
+        assert leaf["scale"].shape == (2,)
+    assert "bias" in blk["to_out"]
+    # the absorbed UNet consumes the prequantized tree (CPU fallback
+    # dequantizes); output stays close to bf16. use_int8_conv so the
+    # resnet QuantConvs consume the prequantized conv dicts too.
+    ui = UNet2DCondition(config=UNetConfig(**base,
+                                           use_absorbed_attention=True,
+                                           use_int8_attention=True,
+                                           use_int8_conv=True))
+    yq = ui.apply(pq, x, t)
+    corr = np.corrcoef(np.asarray(y0).ravel(), np.asarray(yq).ravel())[0, 1]
+    assert np.isfinite(np.asarray(yq)).all() and corr > 0.99, corr
+
+
+def test_fused_geglu_kernel_interpret_mode():
+    """Fused s8 GEGLU kernel must reproduce the QuantDense-math fallback
+    (same quantization semantics) exactly."""
+    import functools
+    from jax.experimental.pallas import tpu as pltpu
+    from ldmseg_tpu.ops.pallas.geglu import (
+        _geglu_kernel, _xla_geglu_s8)
+    b, t, c, mult = 2, 32, 64, 2
+    m2 = c * mult * 2
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    w1 = jnp.asarray(rng.randn(c, m2), jnp.float32) * 0.1
+    w2 = jnp.asarray(rng.randn(m2 // 2, c), jnp.float32) * 0.1
+    b1 = jnp.asarray(rng.randn(m2), jnp.float32) * 0.1
+    q1 = jnp.round(w1 / (jnp.max(jnp.abs(w1), axis=0) / 127)).astype(
+        jnp.int8)
+    s1 = jnp.max(jnp.abs(w1), axis=0) / 127
+    q2 = jnp.round(w2 / (jnp.max(jnp.abs(w2), axis=0) / 127)).astype(
+        jnp.int8)
+    s2 = jnp.max(jnp.abs(w2), axis=0) / 127
+    act = 0.05
+    s1t = jnp.zeros((8, m2), jnp.float32).at[0].set(s1).at[1].set(b1)
+    s2t = jnp.zeros((8, c), jnp.float32).at[0].set(s2)
+    sct = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(act)
+    out = pl.pallas_call(
+        _geglu_kernel,
+        grid=(b, 1),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((c, m2), lambda i, j: (0, 0)),
+            pl.BlockSpec((m2 // 2, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, m2), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+        interpret=True)(x, q1, q2, s1t, s2t, sct)
+    # NOTE: the kernel's g-quantize amax is per (batch, block) while the
+    # fallback's is global — finer scales, slightly different rounding.
+    # Gate both against the FLOAT GEGLU instead of each other.
+    uf = x @ (q1.astype(jnp.float32) * s1) + b1
+    hf, gf = jnp.split(uf, 2, axis=-1)
+    ff = hf * (gf * 0.5 * (1 + jax.lax.erf(gf / jnp.sqrt(2.0))))
+    ref = np.asarray(ff @ (q2.astype(jnp.float32) * s2), np.float32)
+    for got in (np.asarray(out, np.float32),
+                np.asarray(_xla_geglu_s8(x, q1, q2, jnp.stack([s1, b1]),
+                                         s2[None], act), np.float32)):
+        rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-9)
+        assert rel < 0.05, rel
+        corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+        assert corr > 0.998, corr
+
+
+def test_unet_fused_ff_matches_quantdense():
+    """use_fused_ff on a prequantized tree matches the QuantDense s8 FF
+    closely, keeps the tree layout, and stays close to bf16."""
+    from ldmseg_tpu.models import UNet2DCondition, UNetConfig
+    from ldmseg_tpu.ops.quant import prequantize_conv_tree
+    base = dict(in_channels=4, block_out_channels=(32, 64),
+                layers_per_block=1, attn_down=(True, True),
+                attention_head_dim=2, norm_num_groups=8,
+                use_cross_attention=False)
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
+    t = jnp.array([3, 7], jnp.int32)
+    u0 = UNet2DCondition(config=UNetConfig(**base))
+    uq = UNet2DCondition(config=UNetConfig(**base, use_int8_ff=True,
+                                           use_int8_conv=True,
+                                           int8_act_scale=0.05))
+    uf = UNet2DCondition(config=UNetConfig(**base, use_int8_ff=True,
+                                           use_int8_conv=True,
+                                           use_fused_ff=True,
+                                           int8_act_scale=0.05))
+    p = u0.init(jax.random.key(0), x, t)
+    pf = uf.init(jax.random.key(0), x, t)
+    assert jax.tree_util.tree_structure(p) == \
+        jax.tree_util.tree_structure(pf)
+    pq = prequantize_conv_tree(p, quantize_ff=True)
+    y0 = np.asarray(u0.apply(p, x, t), np.float32)
+    yq = np.asarray(uq.apply(pq, x, t), np.float32)
+    yf = np.asarray(uf.apply(pq, x, t), np.float32)
+    assert np.isfinite(yf).all()
+    # fused path tracks bf16 at least as well as the QuantDense path
+    # (per-block g scales are finer than QuantDense's global amax, so
+    # exact equality is not expected)
+    def rel(a):
+        return np.abs(a - y0).mean() / (np.abs(y0).mean() + 1e-8)
+    assert rel(yf) <= rel(yq) * 1.5, (rel(yf), rel(yq))
+    corr = np.corrcoef(y0.ravel(), yf.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
 def test_bilinear_upsample_2x_matches_resize():
     """Gather-free 2x bilinear (ops/resize.py) must equal
     jax.image.resize half-pixel bilinear exactly (SegVAE.decode path)."""
