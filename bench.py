@@ -29,7 +29,8 @@ def main():
     # batch 16 (b24/b32 measured no better e2e): with the int8 path the per-frame cost is ~10% lower than
     # batch 8 (2.73 vs 3.04 ms/frame measured) — the s8 activations
     # halved the bandwidth pressure that made b16 lose in bf16
-    batch = 16
+    import os
+    batch = int(os.environ.get("LDMSEG_BENCH_BATCH", "16"))
     h, w = 256, 512
     lh, lw = h // 8, w // 8
     dtype = jnp.bfloat16

@@ -45,6 +45,10 @@ def main(argv=None):
     out_dir = overrides.pop("out_dir", "/tmp/ldmseg_preds")
     checkpoint = overrides.pop("checkpoint", None)
     max_batches = overrides.pop("max_batches", None)
+    # pose-consistent video prediction: group frames into clips and
+    # sample with the pose-warped refinement (stage-3; needs
+    # pose_model_kwargs.pretrained_path)
+    clip_len = overrides.pop("clips", None)
 
     cfg = load_config(None)
     cfg = merge_dicts(cfg, DATASET_PRESETS.get(dataset, {}))
@@ -52,6 +56,10 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     _, val_ds = build_datasets(cfg, prefix)
+    if clip_len:
+        from ldmseg_tpu.data.video import ClipDataset
+        val_ds = ClipDataset(val_ds, clip_len=int(clip_len),
+                             stride=int(clip_len))
 
     unet_config = None
     mk = cfg["model_kwargs"]
@@ -68,6 +76,16 @@ def main(argv=None):
     trainer = TrainerDiffusion(cfg, unet_config=unet_config,
                                val_dataset=val_ds,
                                results_folder=out_dir)
+    pk = cfg.get("pose_model_kwargs") or {}
+    if clip_len and pk.get("pretrained_path"):
+        import orbax.checkpoint as ocp
+        from ldmseg_tpu.models import PoseExpNet
+        restored = ocp.StandardCheckpointer().restore(
+            pk["pretrained_path"])
+        nb_ref = int(pk.get("nb_ref_imgs")
+                     or int(restored.get("nb_ref", 2)))
+        trainer.attach_pose(PoseExpNet(nb_ref_imgs=nb_ref),
+                            restored["params"])
     loader = Loader(val_ds, cfg["eval_kwargs"].get("batch_size", 8),
                     shuffle=False, drop_last=False)
     batch0 = next(iter(loader))
@@ -80,7 +98,14 @@ def main(argv=None):
     written = 0
     for bi, batch in enumerate(loader.epoch(0)):
         key, sub = jax.random.split(key)
-        logits, _ = trainer.sample_panoptic(batch, sub)
+        if clip_len:
+            # pose-warped (or repeat-noise) frame-consistent sampling;
+            # flatten the clip batch back to frames for the writer
+            logits, _ = trainer.sample_panoptic_clip(batch, sub)
+            from ldmseg_tpu.data.video import flatten_clip_batch
+            batch = flatten_clip_batch(batch)
+        else:
+            logits, _ = trainer.sample_panoptic(batch, sub)
         h, w = batch["semseg"].shape[1:3]
         logits = jax.image.resize(
             logits, (logits.shape[0], h, w, logits.shape[-1]), "linear")

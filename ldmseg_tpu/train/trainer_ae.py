@@ -196,8 +196,10 @@ class TrainerAE:
         pred = np.asarray(jnp.argmax(logits, axis=-1))[0]
         path = os.path.join(self.results_folder,
                             f"rgb_gt_pred_ae_{step}.jpg")
-        return save_train_panel(path, batch["image"][0],
-                                batch["semseg"][0], pred)
+        out = save_train_panel(path, batch["image"][0],
+                               batch["semseg"][0], pred)
+        self.metrics.log_image(step, "train_panel", path)
+        return out
 
     def _eval_during_training(self, step: int, eval_kw: dict):
         """Periodic in-training eval + best-PQ snapshot (the reference AE

@@ -201,7 +201,9 @@ class TrainerDiffusion:
                    unet_params=None, vae_seg_params=None,
                    vae_img_params=None):
         """Initialize (or adopt pretrained) parameter trees."""
-        h, w = sample_batch["image"].shape[1:3]
+        img = sample_batch["image"]
+        # clip batches are [B, T, H, W, 3]
+        h, w = img.shape[2:4] if img.ndim == 5 else img.shape[1:3]
         f = 8
         key = jax.random.key(seed)
         k1, k2, k3 = jax.random.split(key, 3)

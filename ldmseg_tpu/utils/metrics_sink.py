@@ -32,6 +32,7 @@ class MetricsSink:
                 print("wandb not installed; JSONL sink only")
 
     def log(self, step: int, **scalars):
+        scalars = {k: v for k, v in scalars.items() if v is not None}
         rec = {"step": int(step), "time": time.time(), **{
             k: float(v) for k, v in scalars.items()}}
         if self.file is not None:
@@ -39,6 +40,22 @@ class MetricsSink:
             self.file.flush()
         if self.wandb is not None:
             self.wandb.log(scalars, step=step)
+
+    def log_image(self, step: int, name: str, image, caption=None):
+        """Mirror a visualization panel to wandb (reference logs sampled
+        rgb/gt/pred grids, trainers_ldm_cond.py:1481-1512). ``image``: an
+        HWC uint8/float array or a saved panel path. The JSONL sink
+        records the pointer so panels are discoverable offline too."""
+        ref = image if isinstance(image, str) else f"<array {name}>"
+        if self.file is not None:
+            self.file.write(json.dumps({
+                "step": int(step), "time": time.time(),
+                "image": {"name": name, "ref": ref}}) + "\n")
+            self.file.flush()
+        if self.wandb is not None:
+            self.wandb.log(
+                {name: self.wandb.Image(image, caption=caption)},
+                step=step)
 
     def close(self):
         if self.file is not None:

@@ -84,6 +84,18 @@ def test_metrics_sink(tmp_path):
     assert lines[0]["loss"] == 0.5 and lines[1]["step"] == 2
 
 
+def test_metrics_sink_none_scalars_and_images(tmp_path):
+    path = str(tmp_path / "metrics.jsonl")
+    sink = MetricsSink(path)
+    sink.log(1, pq=10.0, sq=None)  # in-training eval passes optional keys
+    sink.log_image(2, "train_panel", str(tmp_path / "panel.jpg"))
+    sink.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert "sq" not in lines[0] and lines[0]["pq"] == 10.0
+    assert lines[1]["image"]["name"] == "train_panel"
+    assert lines[1]["image"]["ref"].endswith("panel.jpg")
+
+
 def test_kitti_asymmetric_bits(tmp_path):
     from tests.test_data import _write_kitti_tree
     from ldmseg_tpu.data import KittiDVPS
