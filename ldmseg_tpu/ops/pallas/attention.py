@@ -59,17 +59,18 @@ def _attn_kernel_s8(q_ref, k_ref, v_ref, sc_ref, o_ref):
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)                # [BQ, T]
     s = s32.astype(jnp.float32) * sc_ref[0, 0]
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)                                       # rowmax(e) == 1
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    # quantize the UNNORMALIZED exp (always spans (0, 1], so the static
-    # 127 scale is exact-range) and normalize after the matmul — a static
+    # quantize the UNNORMALIZED exp (spans (0, 127] by construction with
+    # ln(127) absorbed into the exp argument — one fewer [BQ, T] VPU
+    # multiply pass than e*127) and normalize after the matmul — a static
     # scale on softmax output itself collapses diffuse rows to 1-2 codes
-    e8 = jnp.round(e * 127.0).astype(jnp.int8)
+    s = s - jnp.max(s, axis=-1, keepdims=True) + 4.844187086458591
+    e = jnp.exp(s)                                       # rowmax(e) == 127
+    denom = jnp.sum(e, axis=-1, keepdims=True)           # = 127 * sum(exp)
+    e8 = jnp.round(e).astype(jnp.int8)
     o32 = jax.lax.dot_general(
         e8, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)                # [BQ, D]
-    o = o32.astype(jnp.float32) * (sc_ref[0, 1] / denom)
+    o = o32.astype(jnp.float32) * (sc_ref[0, 1] * 127.0 / denom)
     o_ref[...] = o.reshape(o_ref.shape).astype(o_ref.dtype)
 
 
@@ -172,14 +173,14 @@ def _attn_kernel_btc_s8(q_ref, k_ref, v_ref, sc_ref, o_ref, *,
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)             # [T, T]
         s = s32.astype(jnp.float32) * sc_ref[0, 0]
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
+        s = s - jnp.max(s, axis=-1, keepdims=True) + 4.844187086458591
+        e = jnp.exp(s)                                    # rowmax == 127
         denom = jnp.sum(e, axis=-1, keepdims=True)
-        e8 = jnp.round(e * 127.0).astype(jnp.int8)
+        e8 = jnp.round(e).astype(jnp.int8)
         o32 = jax.lax.dot_general(
             e8, vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)             # [T, Dp]
-        oh = o32.astype(jnp.float32) * (sc_ref[0, 1] / denom)
+        oh = o32.astype(jnp.float32) * (sc_ref[0, 1] * 127.0 / denom)
         acc = acc + jax.lax.dot_general(
             oh.astype(jnp.bfloat16), sel.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())),
@@ -386,14 +387,14 @@ def _attn_kernel_absorbed_s8(x_ref, wq_ref, wk_ref, wv_ref, wo_ref,
         q8, k8, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)                   # [T, T]
     s = s32.astype(jnp.float32) * (qs * ks * scale)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)                                          # rowmax == 1
+    s = s - jnp.max(s, axis=-1, keepdims=True) + 4.844187086458591
+    e = jnp.exp(s)                                          # rowmax == 127
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    e8 = jnp.round(e * 127.0).astype(jnp.int8)
+    e8 = jnp.round(e).astype(jnp.int8)
     o32 = jax.lax.dot_general(
         e8, v8, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)                   # [T, D]
-    oh = o32.astype(jnp.float32) * (vs / 127.0) / denom
+    oh = o32.astype(jnp.float32) * vs / denom
     oamax = jnp.maximum(jnp.max(jnp.abs(oh)), 1e-6)
     os_ = oamax / 127.0
     oh8 = jnp.round(oh / os_).astype(jnp.int8)
@@ -492,6 +493,152 @@ def absorbed_self_attention_s8(
     sc = scales.at[:, 0, 4].set(jnp.float32(act_scale))
     return _absorbed_s8_impl(x8, wq8, wk8, wv8, wo8, sc,
                              scale).astype(x.dtype)
+
+
+def _attn_kernel_absorbed_fullc_s8(x_ref, wq_ref, wk_ref, wv_ref, wop_ref,
+                                   sc_ref, o_ref, *, scale: float,
+                                   heads: int):
+    """Absorbed-projection s8 attention, full-C projections.
+
+    The round-2 absorbed kernel projected PER HEAD ([C]->[D=40] slices),
+    paying the 128-lane pad on every projection matmul (attn custom
+    calls 9.0 -> 14.3 ms/fwd, BENCH_NOTES.md). Here to_q/k/v run at the
+    FULL width ([T,C]@[C,C], C=320/640/1280 — no pad waste), heads are
+    then extracted with one-hot s8 selection matmuls (exact: +-1 codes),
+    and to_out is applied per head via a pre-padded ``wop [H, 128, C]``
+    (rows >= D zero) so the [T, Dpad] head outputs contract directly.
+    Like the other absorbed kernels the custom call consumes/produces
+    the native [B, T, C] layout: no transposes or layout constraints
+    leak into the surrounding XLA graph."""
+    x = x_ref[0]                        # [T, C] int8
+    xs = sc_ref[0, 0]
+    t, c = x.shape
+    d = c // heads
+    dp = ((d + 127) // 128) * 128
+
+    def proj(w_ref, widx):
+        y32 = jax.lax.dot_general(
+            x, w_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)               # [T, C]
+        y = y32.astype(jnp.float32) * (xs * sc_ref[0, 1 + widx])
+        amax = jnp.maximum(jnp.max(jnp.abs(y)), 1e-6)
+        ys = amax / 127.0
+        y8 = jnp.round(y / ys).astype(jnp.int8)
+        return y8, ys
+
+    q8, qs = proj(wq_ref, 0)
+    k8, ks = proj(wk_ref, 1)
+    v8, vs = proj(wv_ref, 2)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, dp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, dp), 1)
+
+    acc = jnp.zeros((t, c), jnp.float32)
+    for h in range(heads):
+        sel = ((row == h * d + col) & (col < d)).astype(jnp.int8)
+        pick = lambda y8: jax.lax.dot_general(  # noqa: E731
+            y8, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.int8)
+        qh = pick(q8)                   # [T, Dp] (cols >= d zero)
+        kh = pick(k8)
+        vh = pick(v8)
+        s32 = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)               # [T, T]
+        s = s32.astype(jnp.float32) * (qs * ks * scale)
+        s = s - jnp.max(s, axis=-1, keepdims=True) + 4.844187086458591
+        e = jnp.exp(s)                                      # rowmax == 127
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        e8 = jnp.round(e).astype(jnp.int8)
+        o32 = jax.lax.dot_general(
+            e8, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)               # [T, Dp]
+        oh = o32.astype(jnp.float32) * vs / denom
+        oamax = jnp.maximum(jnp.max(jnp.abs(oh)), 1e-6)
+        os_ = oamax / 127.0
+        oh8 = jnp.round(oh / os_).astype(jnp.int8)
+        c32 = jax.lax.dot_general(
+            oh8, wop_ref[0][h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)               # [T, C]
+        acc = acc + c32.astype(jnp.float32) * (os_ * sc_ref[0, 4])
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def _absorbed_fullc_s8_impl(x8, wq8, wk8, wv8, wop8, sc, scale, heads):
+    b, t, c = x8.shape
+    wspec = pl.BlockSpec((1,) + wq8.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_absorbed_fullc_s8, scale=scale,
+                          heads=heads),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec, wspec, wspec,
+            pl.BlockSpec((1,) + wop8.shape, lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x8.shape, jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(x8, wq8[None], wk8[None], wv8[None], wop8[None], sc)
+
+
+def quantize_fullc_weights(wq, wk, wv, wo, heads):
+    """Host/prequant-time weights for the full-C absorbed s8 kernel:
+    wq/wk/wv stay [C, C] s8 (one per-tensor scale each); wo becomes
+    ``wop [H, 128, C]`` s8 — head h's [D, C] slice in rows 0..D, zeros
+    above — so the kernel's padded [T, Dp] head outputs contract with it
+    directly. Returns (wq8, wk8, wv8, wop8, scales[8,128])."""
+    c = wq.shape[0]
+    d = c // heads
+    dp = ((d + 127) // 128) * 128
+    sc = jnp.zeros((8, 128), jnp.float32)
+    out8 = []
+    for i, w in enumerate((wq, wk, wv)):
+        w = w.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(w)), 1e-8) / 127.0
+        out8.append(jnp.round(w / s).astype(jnp.int8))
+        sc = sc.at[0, 1 + i].set(s)
+    wo = wo.astype(jnp.float32)
+    so = jnp.maximum(jnp.max(jnp.abs(wo)), 1e-8) / 127.0
+    wop = jnp.zeros((heads, dp, c), jnp.float32)
+    wop = wop.at[:, :d, :].set(wo.reshape(heads, d, c))
+    out8.append(jnp.round(wop / so).astype(jnp.int8))
+    sc = sc.at[0, 4].set(so)
+    return (*out8, sc)
+
+
+def absorbed_fullc_self_attention_s8(
+    x: jnp.ndarray, wq8, wk8, wv8, wop8, scales,
+    heads: int, scale: float, act_scale: float,
+    max_seq: int = 2048,
+) -> jnp.ndarray:
+    """Full-C absorbed s8 self-attention (see kernel docstring).
+    ``x [B, T, C]`` float; weights from :func:`quantize_fullc_weights`.
+    Off-TPU / misaligned shapes fall back to dequantized float math."""
+    b, t, c = x.shape
+    d = c // heads
+    if (t > max_seq or t % 8 != 0 or c % heads != 0 or d % 8 != 0
+            or jax.default_backend() == "cpu"):
+        deq = lambda w8, i: w8.astype(jnp.float32) * scales[0, i]  # noqa
+        wo = deq(wop8, 4)[:, :d, :].reshape(c, c)
+        q = x.astype(jnp.float32) @ deq(wq8, 1)
+        k = x.astype(jnp.float32) @ deq(wk8, 2)
+        v = x.astype(jnp.float32) @ deq(wv8, 3)
+        r = lambda y: y.reshape(b, t, heads, d)  # noqa: E731
+        out = _xla_bthd(r(q), r(k), r(v), scale)
+        return (out.reshape(b, t, c) @ wo).astype(x.dtype)
+    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
+                  -127, 127).astype(jnp.int8)
+    sc = scales.at[0, 0].set(jnp.float32(act_scale))
+    return _absorbed_fullc_s8_impl(x8, wq8, wk8, wv8, wop8, sc, scale,
+                                   heads).astype(x.dtype)
 
 
 def _fused_impl(q, k, v, scale, block_q):

@@ -523,3 +523,58 @@ def test_convtranspose2x_matches_flax():
     out = ConvTranspose2x(6).apply(p, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_absorbed_fullc_s8_kernel_interpret_mode():
+    """Full-C absorbed s8 kernel (to_q/k/v at full width, one-hot head
+    extraction, pre-padded wo) stays within quantization error of the
+    float projection+attention+projection reference, and the CPU
+    dispatch fallback uses the same quantized weights."""
+    import functools
+    from jax.experimental.pallas import tpu as pltpu
+    from ldmseg_tpu.ops.pallas.attention import (
+        _attn_kernel_absorbed_fullc_s8, quantize_fullc_weights,
+        absorbed_fullc_self_attention_s8, _xla_bthd)
+    b, t, heads, d = 2, 32, 4, 8
+    c = heads * d
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    wq, wk, wv, wo = (jnp.asarray(rng.randn(c, c), jnp.float32) * 0.2
+                      for _ in range(4))
+    scale = d**-0.5
+    wq8, wk8, wv8, wop8, sc = quantize_fullc_weights(wq, wk, wv, wo, heads)
+    act_scale = float(np.abs(np.asarray(x)).max()) / 127.0
+    x8 = jnp.clip(jnp.round(x / act_scale), -127, 127).astype(jnp.int8)
+    scf = sc.at[0, 0].set(act_scale)
+    wspec = pl.BlockSpec((1, c, c), lambda i: (0, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_absorbed_fullc_s8, scale=scale,
+                          heads=heads),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+            wspec, wspec, wspec,
+            pl.BlockSpec((1,) + wop8.shape, lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+        interpret=True,
+    )(x8, wq8[None], wk8[None], wv8[None], wop8[None], scf)
+    q = (x @ wq).reshape(b, t, heads, d)
+    k = (x @ wk).reshape(b, t, heads, d)
+    v = (x @ wv).reshape(b, t, heads, d)
+    ref = _xla_bthd(q, k, v, scale).reshape(b, t, c) @ wo
+    out = np.asarray(out, np.float32)
+    rel = np.abs(out - np.asarray(ref)).mean() / \
+        np.abs(np.asarray(ref)).mean()
+    assert rel < 0.08, rel
+    corr = np.corrcoef(out.ravel(), np.asarray(ref).ravel())[0, 1]
+    assert corr > 0.99, corr
+    # dispatch fallback (CPU): dequantized float math, same weights
+    fb = absorbed_fullc_self_attention_s8(
+        x, wq8, wk8, wv8, wop8, sc, heads, scale, act_scale)
+    fb = np.asarray(fb, np.float32)
+    rel_fb = np.abs(fb - np.asarray(ref)).mean() / \
+        np.abs(np.asarray(ref)).mean()
+    assert rel_fb < 0.05, rel_fb
