@@ -42,12 +42,12 @@ def _gelu_exact(x):
 
 def _gelu_tanh(x):
     """tanh-approximate gelu, written with exp (Mosaic lowers exp but not
-    erf). Max deviation from exact gelu ~3e-3 — far below the s8
-    quantization error this kernel already carries; the XLA fallback
-    keeps the exact form."""
+    erf). 0.5*x*(1+tanh(z)) == x*sigmoid(2z) exactly, which saves three
+    VPU passes vs the expanded tanh form. Max deviation from exact gelu
+    ~3e-3 — far below the s8 quantization error this kernel already
+    carries; the XLA fallback keeps the exact form."""
     z = 0.7978845608028654 * (x + 0.044715 * x * x * x)
-    t = 2.0 / (1.0 + jnp.exp(-2.0 * z)) - 1.0
-    return 0.5 * x * (1.0 + t)
+    return x / (1.0 + jnp.exp(-2.0 * z))
 
 
 def _geglu_kernel(x_ref, w1_ref, w2_ref, s1_ref, s2_ref, sc_ref, o_ref):
