@@ -225,9 +225,16 @@ class ConvTranspose2x(nn.Module):
     checkpoints and ``torch_import`` keep working; numerics match
     bit-for-bit (the lax.conv_transpose convention mirrors the kernel,
     hence the ``[::-1, ::-1]`` flip).
+
+    ``use_int8`` (or a prequantized ``{"q","scale"}`` kernel leaf from
+    ``ops.quant.prequantize_conv_tree``) routes the matmul through the
+    s8 MXU path: inference-only, accuracy-gated like the other int8
+    sites (tests/test_int8_inference.py).
     """
 
     features: int
+    use_int8: bool = False
+    act_scale: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -236,7 +243,33 @@ class ConvTranspose2x(nn.Module):
                             (2, 2, c, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         o = self.features
-        w2 = kernel[::-1, ::-1].transpose(2, 0, 1, 3).reshape(c, 4 * o)
-        y = jnp.dot(x.reshape(b * h * w, c), w2.astype(x.dtype))
+        x2 = x.reshape(b * h * w, c)
+        if isinstance(kernel, dict):
+            # pre-quantized (2,2,C,O) int8 kernel with per-O scale
+            w_q, w_scale = kernel["q"], kernel["scale"]
+            w2q = w_q[::-1, ::-1].transpose(2, 0, 1, 3).reshape(c, 4 * o)
+            # column order after the reshape is (kh, kw, o) -> the per-O
+            # scale tiles 4x along the columns
+            col_scale = jnp.tile(w_scale, 4)
+            site_scale = kernel.get("x_scale", self.act_scale)
+            x_f = x2.astype(jnp.float32)
+            if site_scale is None:
+                x_scale = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-8) / 127.0
+            else:
+                x_scale = jnp.float32(site_scale)
+            x_q = jnp.clip(jnp.round(x_f / x_scale), -127,
+                           127).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                x_q, w2q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = (y.astype(jnp.float32) * (x_scale * col_scale)
+                 ).astype(x.dtype)
+        else:
+            w2 = kernel[::-1, ::-1].transpose(2, 0, 1, 3).reshape(c, 4 * o)
+            if self.use_int8:
+                from ..ops.quant import int8_dot
+                y = int8_dot(x2, w2, self.act_scale)
+            else:
+                y = jnp.dot(x2, w2.astype(x.dtype))
         y = y.reshape(b, h, w, 2, 2, o).transpose(0, 1, 3, 2, 4, 5)
         return y.reshape(b, 2 * h, 2 * w, o) + bias.astype(x.dtype)

@@ -228,7 +228,11 @@ class SegEncoder(nn.Module):
 
 
 class SegDecoder(nn.Module):
-    """Decoder half (vae.py:124-173)."""
+    """Decoder half (vae.py:124-173).
+
+    ``use_int8`` routes the convs and the conv-transpose matmuls through
+    the s8 MXU path (inference-only; the train graph keeps bf16).
+    """
 
     int_channels: int
     out_channels: int
@@ -236,10 +240,19 @@ class SegDecoder(nn.Module):
     num_mid_blocks: int
     num_upscalers: int
     upscale_channels: int
+    use_int8: bool = False
+    int8_act_scale: Optional[float] = None
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Conv(self.int_channels, (3, 3), padding=1, name="in_conv")(z)
+        if self.use_int8:
+            import functools
+            from ..ops.quant import QuantConv
+            Conv3 = functools.partial(QuantConv,
+                                      act_scale=self.int8_act_scale)
+        else:
+            Conv3 = nn.Conv
+        h = Conv3(self.int_channels, (3, 3), padding=1, name="in_conv")(z)
         if self.num_mid_blocks > 0:
             h = MidBlock2D(self.int_channels, groups=self.norm_num_groups,
                            name="mid")(h)
@@ -248,7 +261,9 @@ class SegDecoder(nn.Module):
             # pixel-shuffle form of ConvTranspose 2x2/s2 (same params,
             # bit-exact; avoids XLA's zero-insertion copy lowering)
             from .layers import ConvTranspose2x
-            h = ConvTranspose2x(dim, name=f"up{i}_convt")(h)
+            h = ConvTranspose2x(dim, use_int8=self.use_int8,
+                                act_scale=self.int8_act_scale,
+                                name=f"up{i}_convt")(h)
             h = LayerNorm2d(name=f"up{i}_ln")(h)
             h = nn.silu(h)
         # torch nn.GroupNorm default eps (1e-5) in the decoder head
@@ -256,7 +271,7 @@ class SegDecoder(nn.Module):
         h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
                          name="norm")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="out_conv")(h)
+        h = Conv3(self.out_channels, (3, 3), padding=1, name="out_conv")(h)
         return h
 
 
@@ -287,6 +302,8 @@ class SegVAE(nn.Module):
     skip_encoder: bool = False
     image_encoder: bool = False  # share the SD AutoencoderKL encoder
     num_embeddings: int = 128
+    use_int8: bool = False  # s8 MXU decoder convs (inference-only)
+    int8_act_scale: Optional[float] = None
 
     @property
     def downsample_factor(self) -> int:
@@ -351,6 +368,8 @@ class SegVAE(nn.Module):
             num_mid_blocks=self.num_mid_blocks,
             num_upscalers=self.num_upscalers,
             upscale_channels=self.upscale_channels,
+            use_int8=self.use_int8,
+            int8_act_scale=self.int8_act_scale,
             name="decoder",
         )
 

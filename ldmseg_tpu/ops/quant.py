@@ -132,7 +132,21 @@ def prequantize_conv_tree(params, quantize_ff: bool = False,
             return node
         out = {}
         is_resnet = all(k in node for k in ("conv1", "conv2", "norm1"))
+        # SegVAE decoder (models/seg_vae.py SegDecoder): in_conv/out_conv
+        # 3x3 QuantConvs + up{i}_convt pixel-shuffle conv-transposes. The
+        # node-shape match is exact to this module, so passing any other
+        # tree through is a no-op.
+        is_segdec = ("in_conv" in node and "out_conv" in node
+                     and any(k.endswith("_convt") for k in node))
         for k, v in node.items():
+            if (is_segdec
+                    and (k in ("in_conv", "out_conv")
+                         or k.endswith("_convt"))
+                    and isinstance(v, dict) and "kernel" in v
+                    and getattr(v["kernel"], "ndim", 0) == 4):
+                q, s = quantize_weight(v["kernel"])
+                out[k] = dict(v, kernel={"q": q, "scale": s})
+                continue
             if (is_resnet and k in ("conv1", "conv2")
                     and isinstance(v, dict) and "kernel" in v
                     and getattr(v["kernel"], "ndim", 0) == 4):

@@ -290,3 +290,46 @@ def test_trainer_calibrate_int8(tmp_path):
     logits, x0 = tr.sample_panoptic(batch, jax.random.key(0),
                                     num_inference_steps=2)
     assert np.all(np.isfinite(np.asarray(x0)))
+
+
+def test_seg_vae_int8_decoder():
+    """SegVAE.decode with use_int8 tracks the bf16 decoder (opt-in; at
+    the bench shape the bandwidth-bound decoder measured FASTER in bf16,
+    see BENCH_NOTES.md round 3 — the path stays for other shapes and as
+    the checkpoint-compatible s8 form of ConvTranspose2x)."""
+    import functools
+    from ldmseg_tpu.models import SegVAE
+    from ldmseg_tpu.ops.quant import prequantize_conv_tree
+
+    v = SegVAE(in_channels=16, out_channels=32, num_upscalers=2,
+               int_channels=64, upscale_channels=64, norm_num_groups=8,
+               block_out_channels=(8, 16, 32, 64))
+    vq = v.clone(use_int8=True)
+    p = jax.jit(functools.partial(v.init, sample_posterior=False))(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 16), jnp.float32))
+    # same param tree: the flag flips on any loaded checkpoint
+    pi = jax.jit(functools.partial(vq.init, sample_posterior=False))(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, 64, 64, 16), jnp.float32))
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(pi))
+
+    pq = prequantize_conv_tree(p)
+    dec = pq["params"]["decoder"]
+    for leaf in ("in_conv", "up0_convt", "up1_convt", "out_conv"):
+        assert isinstance(dec[leaf]["kernel"], dict), leaf
+    # encoder untouched
+    enc_flat = jax.tree_util.tree_flatten(pq["params"]["encoder"])[0]
+    assert all(getattr(x, "dtype", None) != jnp.int8 for x in enc_flat)
+
+    z = jax.random.normal(jax.random.key(2), (2, 8, 8, 4)) * 5.0
+    ref = np.asarray(v.apply(p, z, True, method=SegVAE.decode), np.float32)
+    for params in (p, pq):  # in-graph quant and prequantized
+        out = np.asarray(vq.apply(params, z, True, method=SegVAE.decode),
+                         np.float32)
+        assert np.isfinite(out).all()
+        corr = np.corrcoef(ref.ravel(), out.ravel())[0, 1]
+        agree = (ref.argmax(-1) == out.argmax(-1)).mean()
+        assert corr > 0.99, corr
+        assert agree > 0.9, agree
