@@ -71,6 +71,11 @@ class UNetConfig:
     use_fused_attention: bool = False  # Pallas VMEM-softmax self-attn
     use_packed_attention: bool = False  # [B,T,C]-layout Pallas self-attn
     use_absorbed_attention: bool = False  # projections inside the kernel
+    # head-PADDED absorbed s8 attention: projections + attention +
+    # to_out in one kernel on the native [B,T,C] layout, weights padded
+    # to 128-aligned head offsets (fixes the per-head-padding and
+    # one-hot-selection costs of the other absorbed variants)
+    use_padded_attention: bool = False
     use_int8_conv: bool = False  # int8 MXU fast path for resnet 3x3 convs
     use_int8_attention: bool = False  # s8 matmuls inside the attn kernel
     use_int8_ff: bool = False  # s8 transformer feed-forward matmuls
@@ -115,6 +120,7 @@ class CrossAttention(nn.Module):
     int8: bool = False
     packed: bool = False
     absorbed: bool = False
+    padded: bool = False
     int8_act_scale: Optional[float] = None
 
     def _absorbed(self, x):
@@ -164,9 +170,53 @@ class CrossAttention(nn.Module):
                 ko.reshape(self.heads, head_dim, c), self.heads, scale)
         return out + bo.astype(out.dtype)
 
+    def _absorbed_padded(self, x):
+        """Projections + attention + out-projection in ONE s8 Pallas call
+        with head-PADDED weights (ops/pallas/attention.py
+        ``absorbed_padded_self_attention_s8``): all heads projected by a
+        single full-width s8 matmul, head slices at free 128-aligned
+        offsets, to_out as one matmul from the int8 PV scratch. Native
+        [B,T,C] layout on both sides — no layout constraints leak into
+        the surrounding graph."""
+        from ..ops.pallas.attention import (
+            absorbed_padded_self_attention_s8, quantize_head_weights)
+        inner = self.query_dim
+        head_dim = inner // self.heads
+        scale = head_dim**-0.5
+        kq, _ = _DenseParams(inner, inner, name="to_q")()
+        kk, _ = _DenseParams(inner, inner, name="to_k")()
+        kv, _ = _DenseParams(inner, inner, name="to_v")()
+        ko, bo = _DenseParams(inner, inner, use_bias=True,
+                              name="to_out")()
+        xs = self.int8_act_scale or 0.1
+        if isinstance(kq, dict):
+            # prequantized {"q": [C,C] s8, "scale": [H]} leaves
+            # (prequantize_conv_tree absorbed_attention storage)
+            scales = jnp.zeros((self.heads, 8, 128), jnp.float32)
+            for i, leaf in enumerate((kq, kk, kv, ko)):
+                scales = scales.at[:, 0, i].set(leaf["scale"])
+            out = absorbed_padded_self_attention_s8(
+                x, kq["q"], kk["q"], kv["q"], ko["q"], scales,
+                self.heads, scale, act_scale=xs)
+        else:
+            # correctness path without prequantized weights: quantize
+            # in-graph (slow per-step; tests / non-scan callers)
+            wq8, wk8, wv8, wo8, scales = quantize_head_weights(
+                kq, kk, kv, ko, self.heads)
+            c = inner
+            flat_qkv = lambda w8: jnp.transpose(  # noqa: E731
+                w8, (1, 0, 2)).reshape(c, c)
+            out = absorbed_padded_self_attention_s8(
+                x, flat_qkv(wq8), flat_qkv(wk8), flat_qkv(wv8),
+                wo8.reshape(c, c), scales, self.heads, scale,
+                act_scale=xs)
+        return out + bo.astype(out.dtype)
+
     @nn.compact
     def __call__(self, x, context=None):
         is_self = context is None
+        if self.padded and is_self:
+            return self._absorbed_padded(x)
         if self.absorbed and is_self:
             return self._absorbed(x)
         context = x if context is None else context
@@ -272,6 +322,7 @@ class BasicTransformerBlock(nn.Module):
     int8_attention: bool = False
     packed_attention: bool = False
     absorbed_attention: bool = False
+    padded_attention: bool = False
     int8_ff: bool = False
     fused_ff: bool = False
     int8_act_scale: Optional[float] = None
@@ -285,6 +336,7 @@ class BasicTransformerBlock(nn.Module):
                                int8=self.int8_attention,
                                packed=self.packed_attention,
                                absorbed=self.absorbed_attention,
+                               padded=self.padded_attention,
                                int8_act_scale=self.int8_attn_act_scale,
                                name="attn1")(h)
         if self.use_cross_attention:
@@ -316,6 +368,7 @@ class Transformer2D(nn.Module):
     int8_attention: bool = False
     packed_attention: bool = False
     absorbed_attention: bool = False
+    padded_attention: bool = False
     int8_ff: bool = False
     fused_ff: bool = False
     int8_act_scale: Optional[float] = None
@@ -339,6 +392,7 @@ class Transformer2D(nn.Module):
                 int8_attention=self.int8_attention,
                 packed_attention=self.packed_attention,
                 absorbed_attention=self.absorbed_attention,
+                padded_attention=self.padded_attention,
                 int8_ff=self.int8_ff,
                 fused_ff=self.fused_ff,
                 int8_act_scale=self.int8_act_scale,
@@ -410,6 +464,7 @@ class DownBlock(nn.Module):
     int8_attention: bool = False
     packed_attention: bool = False
     absorbed_attention: bool = False
+    padded_attention: bool = False
     int8_ff: bool = False
     fused_ff: bool = False
     use_int8: bool = False
@@ -436,6 +491,7 @@ class DownBlock(nn.Module):
                                   int8_attention=self.int8_attention,
                                   packed_attention=self.packed_attention,
                                   absorbed_attention=self.absorbed_attention,
+                padded_attention=self.padded_attention,
                                   int8_ff=self.int8_ff,
                                   fused_ff=self.fused_ff,
                                   int8_act_scale=self.int8_act_scale,
@@ -464,6 +520,7 @@ class UpBlock(nn.Module):
     int8_attention: bool = False
     packed_attention: bool = False
     absorbed_attention: bool = False
+    padded_attention: bool = False
     int8_ff: bool = False
     fused_ff: bool = False
     use_int8: bool = False
@@ -494,6 +551,7 @@ class UpBlock(nn.Module):
                                   int8_attention=self.int8_attention,
                                   packed_attention=self.packed_attention,
                                   absorbed_attention=self.absorbed_attention,
+                padded_attention=self.padded_attention,
                                   int8_ff=self.int8_ff,
                                   fused_ff=self.fused_ff,
                                   int8_act_scale=self.int8_act_scale,
@@ -518,6 +576,7 @@ class MidBlockCrossAttn(nn.Module):
     int8_attention: bool = False
     packed_attention: bool = False
     absorbed_attention: bool = False
+    padded_attention: bool = False
     int8_ff: bool = False
     fused_ff: bool = False
     use_int8: bool = False
@@ -540,6 +599,7 @@ class MidBlockCrossAttn(nn.Module):
                           int8_attention=self.int8_attention,
                           packed_attention=self.packed_attention,
                           absorbed_attention=self.absorbed_attention,
+                padded_attention=self.padded_attention,
                           int8_ff=self.int8_ff,
                           fused_ff=self.fused_ff,
                           int8_act_scale=self.int8_act_scale,
@@ -666,6 +726,7 @@ class UNet2DCondition(nn.Module):
                     int8_attention=cfg.use_int8_attention,
                     packed_attention=cfg.use_packed_attention,
                     absorbed_attention=cfg.use_absorbed_attention,
+                padded_attention=cfg.use_padded_attention,
                     int8_ff=cfg.use_int8_ff,
                     fused_ff=cfg.use_fused_ff,
                     int8_attn_act_scale=cfg.int8_attn_act_scale,
@@ -708,6 +769,7 @@ class UNet2DCondition(nn.Module):
                 int8_attention=cfg.use_int8_attention,
                 packed_attention=cfg.use_packed_attention,
                 absorbed_attention=cfg.use_absorbed_attention,
+                padded_attention=cfg.use_padded_attention,
                 int8_ff=cfg.use_int8_ff,
                 fused_ff=cfg.use_fused_ff,
                 int8_attn_act_scale=cfg.int8_attn_act_scale,
@@ -731,6 +793,7 @@ class UNet2DCondition(nn.Module):
             int8_attention=cfg.use_int8_attention,
             packed_attention=cfg.use_packed_attention,
             absorbed_attention=cfg.use_absorbed_attention,
+                padded_attention=cfg.use_padded_attention,
             int8_ff=cfg.use_int8_ff,
             fused_ff=cfg.use_fused_ff,
             int8_attn_act_scale=cfg.int8_attn_act_scale,
@@ -761,6 +824,7 @@ class UNet2DCondition(nn.Module):
                 int8_attention=cfg.use_int8_attention,
                 packed_attention=cfg.use_packed_attention,
                 absorbed_attention=cfg.use_absorbed_attention,
+                padded_attention=cfg.use_padded_attention,
                 int8_ff=cfg.use_int8_ff,
                 fused_ff=cfg.use_fused_ff,
                 int8_attn_act_scale=cfg.int8_attn_act_scale,

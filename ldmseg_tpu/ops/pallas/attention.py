@@ -641,6 +641,184 @@ def absorbed_fullc_self_attention_s8(
                                    heads).astype(x.dtype)
 
 
+def _attn_kernel_abs_padded_s8(x_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                               m_ref, sc_ref, o_ref, of_ref, *,
+                               heads: int):
+    """Head-PADDED absorbed s8 attention — the variant that fixes both
+    earlier absorbed kernels' failure modes (BENCH_NOTES.md round 3):
+
+      * per-head projections ([C]->[D] slices) padded D=40/80/160 to the
+        128-lane width on EVERY projection matmul (absorbed-s8: attn
+        custom calls 9.0 -> 14.3 ms/fwd);
+      * full-C projections needed 24 one-hot selection matmuls per layer
+        to extract heads at non-128-aligned offsets (fullc: 3.54 vs
+        3.29 ms/layer).
+
+    Here the weights arrive PADDED to 128-aligned head offsets:
+    ``wq/wk/wv [C, H*dp]`` with head h's D columns at ``h*dp`` and dead
+    lanes exact zeros, ``wo [H*dp, C]`` likewise on rows. One full-width
+    s8 matmul projects ALL heads; head slices are free aligned lane
+    slices; dead lanes stay exact zeros through QK^T / PV / to_out. The
+    extra padded columns are nearly free on the MXU (the per-head QK^T
+    contraction pads D to 128 in every variant anyway).
+
+    PV requantization uses the exact int8 convex combination
+    ``of8 = round(o32 / denom)`` (|o32/denom| <= 127 since v8 codes are
+    int8 and sum(e8) ~ denom) — no amax sweep. Per-head to_out scales
+    fold in as ``of8 = round(o32 * (wos[h]/wos_max) / denom)`` so the
+    single ``of8 @ wo8`` matmul stays exact per head.
+
+    Scales: ``m [8, HP]`` rows 0..2 = per-column xs*ws/as for q/k/v
+    (garbage on dead lanes is harmless — the int32 there is exact 0);
+    ``sc [8, 128]``: [0,0] = as^2 * softmax_scale, [0,1] = as * wos_max,
+    [1, h] = wos[h] / wos_max."""
+    x = x_ref[0]                        # [T, C] int8
+    hp = wq_ref.shape[-1]
+    dp = hp // heads
+
+    def proj(w_ref, row):
+        y32 = jax.lax.dot_general(
+            x, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)               # [T, HP]
+        return jnp.clip(jnp.round(y32.astype(jnp.float32) * m_ref[row]),
+                        -127, 127).astype(jnp.int8)
+
+    q8 = proj(wq_ref, 0)
+    k8 = proj(wk_ref, 1)
+    v8 = proj(wv_ref, 2)
+    for h in range(heads):
+        qh = q8[:, h * dp:(h + 1) * dp]
+        kh = k8[:, h * dp:(h + 1) * dp]
+        vh = v8[:, h * dp:(h + 1) * dp]
+        s32 = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)               # [T, T]
+        s = s32.astype(jnp.float32) * sc_ref[0, 0]
+        s = s - jnp.max(s, axis=-1, keepdims=True) + 4.844187086458591
+        e = jnp.exp(s)                                      # rowmax == 127
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        e8 = jnp.round(e).astype(jnp.int8)
+        o32 = jax.lax.dot_general(
+            e8, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)               # [T, dp]
+        of_ref[:, h * dp:(h + 1) * dp] = jnp.clip(
+            jnp.round(o32.astype(jnp.float32) * (sc_ref[1, h] / denom)),
+            -127, 127).astype(jnp.int8)
+    out32 = jax.lax.dot_general(
+        of_ref[...], wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                   # [T, C]
+    o_ref[0] = (out32.astype(jnp.float32) * sc_ref[0, 1]).astype(
+        o_ref.dtype)
+
+
+def _abs_padded_prep(wq8, wk8, wv8, wo8, scales, heads,
+                     act_scale, attn_scale, softmax_scale):
+    """Loop-invariant prep for the padded absorbed s8 kernel: pad the
+    [C, C] prequantized kernels to 128-aligned head offsets and build
+    the per-column / scalar scale tiles (see the kernel docstring)."""
+    c = wq8.shape[0]
+    d = c // heads
+    dp = ((d + 127) // 128) * 128
+    hp = heads * dp
+
+    def pad_cols(w8):                   # [C, C] -> [C, HP]
+        wp = jnp.zeros((c, heads, dp), jnp.int8)
+        return wp.at[:, :, :d].set(w8.reshape(c, heads, d)).reshape(c, hp)
+
+    wqp, wkp, wvp = pad_cols(wq8), pad_cols(wk8), pad_cols(wv8)
+    wop = jnp.zeros((heads, dp, c), jnp.int8)
+    wop = wop.at[:, :d, :].set(wo8.reshape(heads, d, c)).reshape(hp, c)
+
+    xs = jnp.float32(act_scale)
+    as_ = jnp.float32(attn_scale)
+    mrows = jnp.stack([scales[:, 0, i] for i in range(3)]) * (xs / as_)
+    m = jnp.zeros((8, hp), jnp.float32)
+    m = m.at[:3].set(jnp.repeat(mrows, dp, axis=1))         # [3, HP]
+    wos = scales[:, 0, 3]
+    wos_max = jnp.maximum(jnp.max(wos), 1e-8)
+    sc = jnp.zeros((8, 128), jnp.float32)
+    sc = sc.at[0, 0].set(as_ * as_ * softmax_scale)
+    sc = sc.at[0, 1].set(as_ * wos_max)
+    sc = sc.at[1, :heads].set(wos / wos_max)
+    return wqp, wkp, wvp, wop, m, sc
+
+
+def _abs_padded_s8_impl(x8, wqp, wkp, wvp, wop, m, sc, heads,
+                        interpret=False):
+    b, t, c = x8.shape
+    hp = wqp.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_abs_padded_s8, heads=heads),
+        grid=(b,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wqp.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wkp.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wvp.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wop.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(m.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x8.shape, jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((t, hp), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(x8, wqp, wkp, wvp, wop, m, sc)
+
+
+def absorbed_padded_self_attention_s8(
+    x: jnp.ndarray, wq8, wk8, wv8, wo8, scales,
+    heads: int, scale: float, act_scale: float,
+    attn_scale: float = 0.1, max_seq: int = 2048,
+) -> jnp.ndarray:
+    """Padded-layout absorbed s8 self-attention (see the kernel
+    docstring). Takes the SAME prequantized storage as
+    :func:`absorbed_self_attention_s8` — ``wq8/wk8/wv8 [C, C]`` int8 in
+    the original Dense layout with per-head scales
+    ``scales [H, 8, 128]`` (lanes 0..3 = wq/wk/wv/wo, from
+    :func:`quantize_head_weights` via ``prequantize_conv_tree``) and
+    ``wo8 [C, C]`` (rows grouped per head) — and pads to 128-aligned
+    head offsets in-graph (a loop-invariant int8 copy, ~0.2% of a
+    forward). ``act_scale`` quantizes x once per layer (static);
+    ``attn_scale`` is the static q/k/v scale shared with the flat s8
+    path. Off-TPU / misaligned shapes fall back to dequantized float
+    math."""
+    b, t, c = x.shape
+    d = c // heads
+    if (t > max_seq or t % 8 != 0 or c % heads != 0 or d % 8 != 0
+            or jax.default_backend() == "cpu"):
+        deq = lambda w8, i: (w8.astype(jnp.float32)  # noqa: E731
+                             .reshape(c, heads, d)
+                             * scales[:, 0, i][None, :, None]
+                             ).reshape(c, c)
+        wo = (wo8.astype(jnp.float32).reshape(heads, d, c)
+              * scales[:, 0, 3][:, None, None]).reshape(c, c)
+        q = x.astype(jnp.float32) @ deq(wq8, 0)
+        k = x.astype(jnp.float32) @ deq(wk8, 1)
+        v = x.astype(jnp.float32) @ deq(wv8, 2)
+        r = lambda y: y.reshape(b, t, heads, d)  # noqa: E731
+        out = _xla_bthd(r(q), r(k), r(v), scale)
+        return (out.reshape(b, t, c) @ wo).astype(x.dtype)
+
+    wqp, wkp, wvp, wop, m, sc = _abs_padded_prep(
+        wq8, wk8, wv8, wo8, scales, heads, act_scale, attn_scale, scale)
+
+    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / jnp.float32(act_scale)),
+                  -127, 127).astype(jnp.int8)
+    return _abs_padded_s8_impl(x8, wqp, wkp, wvp, wop, m, sc,
+                               heads).astype(x.dtype)
+
+
 def _fused_impl(q, k, v, scale, block_q):
     bh, t, d = q.shape
     block_q = min(block_q, t)

@@ -578,3 +578,95 @@ def test_absorbed_fullc_s8_kernel_interpret_mode():
     rel_fb = np.abs(fb - np.asarray(ref)).mean() / \
         np.abs(np.asarray(ref)).mean()
     assert rel_fb < 0.05, rel_fb
+
+
+def test_absorbed_padded_s8_kernel_interpret_mode():
+    """Head-PADDED absorbed s8 kernel (single full-width projection
+    matmul with 128-aligned head offsets, exact-denominator PV
+    requantization, single to_out matmul) stays within quantization
+    error of the float projection+attention+projection reference; the
+    CPU dispatch fallback uses the same prequantized weights."""
+    from ldmseg_tpu.ops.pallas.attention import (
+        _abs_padded_prep, _abs_padded_s8_impl,
+        absorbed_padded_self_attention_s8, quantize_head_weights,
+        _xla_bthd)
+    b, t, heads, d = 2, 32, 4, 8
+    c = heads * d
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    wq, wk, wv, wo = (jnp.asarray(rng.randn(c, c), jnp.float32) * 0.2
+                      for _ in range(4))
+    scale = d**-0.5
+    q = (x @ wq).reshape(b, t, heads, d)
+    k = (x @ wk).reshape(b, t, heads, d)
+    v = (x @ wv).reshape(b, t, heads, d)
+    ref = _xla_bthd(q, k, v, scale).reshape(b, t, c) @ wo
+
+    wq8, wk8, wv8, wo8, scales = quantize_head_weights(wq, wk, wv, wo,
+                                                       heads)
+    flat_qkv = lambda w8: jnp.transpose(  # noqa: E731
+        w8, (1, 0, 2)).reshape(c, c)
+    wq8f, wk8f, wv8f = flat_qkv(wq8), flat_qkv(wk8), flat_qkv(wv8)
+    wo8f = wo8.reshape(c, c)
+    act_scale = float(np.abs(np.asarray(x)).max()) / 127.0
+    attn_scale = float(max(np.abs(np.asarray(p)).max()
+                           for p in (q, k, v))) / 127.0
+
+    wqp, wkp, wvp, wop, m, sc = _abs_padded_prep(
+        wq8f, wk8f, wv8f, wo8f, scales, heads, act_scale, attn_scale,
+        scale)
+    # dead padded lanes must be exact zeros (they ride through QK^T/PV)
+    assert np.asarray(wqp).shape == (c, heads * 128)
+    assert not np.asarray(wqp).reshape(c, heads, 128)[:, :, d:].any()
+    x8 = jnp.clip(jnp.round(x / act_scale), -127, 127).astype(jnp.int8)
+    out = _abs_padded_s8_impl(x8, wqp, wkp, wvp, wop, m, sc, heads,
+                              interpret=True)
+    out = np.asarray(out, np.float32)
+    rel = np.abs(out - np.asarray(ref)).mean() / \
+        np.abs(np.asarray(ref)).mean()
+    assert rel < 0.10, rel
+    corr = np.corrcoef(out.ravel(), np.asarray(ref).ravel())[0, 1]
+    assert corr > 0.985, corr
+    # dispatch fallback (CPU backend): dequantized float math
+    fb = absorbed_padded_self_attention_s8(
+        x, wq8f, wk8f, wv8f, wo8f, scales, heads, scale, act_scale,
+        attn_scale)
+    fb = np.asarray(fb, np.float32)
+    rel_fb = np.abs(fb - np.asarray(ref)).mean() / \
+        np.abs(np.asarray(ref)).mean()
+    assert rel_fb < 0.05, rel_fb
+
+
+def test_unet_padded_attention_builds_and_prequantizes():
+    """UNet with use_padded_attention keeps the Dense param tree and
+    consumes the absorbed-attention prequantized tree (CPU fallback)."""
+    from ldmseg_tpu.models import UNet2DCondition, UNetConfig
+    from ldmseg_tpu.ops.quant import prequantize_conv_tree
+    base = dict(in_channels=4, block_out_channels=(32, 64),
+                layers_per_block=1, attn_down=(True, True),
+                attention_head_dim=2, norm_num_groups=8,
+                use_cross_attention=False)
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
+    t = jnp.array([3, 7], jnp.int32)
+    u0 = UNet2DCondition(config=UNetConfig(**base))
+    u1 = UNet2DCondition(config=UNetConfig(**base,
+                                           use_padded_attention=True))
+    p = u0.init(jax.random.key(0), x, t)
+    p1 = u1.init(jax.random.key(0), x, t)
+    assert jax.tree_util.tree_structure(p) == \
+        jax.tree_util.tree_structure(p1)
+    y0 = u0.apply(p, x, t)
+    # non-prequantized path quantizes in-graph (weight-only s8 error)
+    y1 = u1.apply(p, x, t)
+    corr = np.corrcoef(np.asarray(y0).ravel(), np.asarray(y1).ravel())[0, 1]
+    assert np.isfinite(np.asarray(y1)).all() and corr > 0.99, corr
+    # prequantized dict leaves ride the same dispatch (use_int8_conv so
+    # the resnet QuantConvs consume the prequantized conv dicts too)
+    pq = prequantize_conv_tree(p, absorbed_attention=True,
+                               attention_heads=2)
+    uq = UNet2DCondition(config=UNetConfig(**base,
+                                           use_padded_attention=True,
+                                           use_int8_conv=True))
+    yq = uq.apply(pq, x, t)
+    corr = np.corrcoef(np.asarray(y0).ravel(), np.asarray(yq).ravel())[0, 1]
+    assert np.isfinite(np.asarray(yq)).all() and corr > 0.99, corr
