@@ -80,6 +80,10 @@ class UNetConfig:
     use_int8_attention: bool = False  # s8 matmuls inside the attn kernel
     use_int8_ff: bool = False  # s8 transformer feed-forward matmuls
     use_fused_ff: bool = False  # fused s8 GEGLU Pallas kernel
+    # absorb the transformer LayerNorms, out-proj biases and residual
+    # adds into the padded-attention / fused-GEGLU kernels (inference):
+    # the self-attn block becomes exactly two custom calls
+    use_fused_norms: bool = False
     int8_act_scale: Optional[float] = None  # static act scale for int8
     # static q/k/v scale for the s8 attention kernel (None = dynamic
     # amax; attention inputs span wider ranges than GN+SiLU outputs)
@@ -105,6 +109,20 @@ class _DenseParams(nn.Module):
             return kernel, None
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Parameter-only stand-in for ``nn.LayerNorm`` (same name/shape
+    tree) — lets the fused-norms path hand scale/bias to a Pallas kernel
+    that computes the LayerNorm in VMEM, checkpoint-compatible."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
 
 
 class CrossAttention(nn.Module):
@@ -170,16 +188,20 @@ class CrossAttention(nn.Module):
                 ko.reshape(self.heads, head_dim, c), self.heads, scale)
         return out + bo.astype(out.dtype)
 
-    def _absorbed_padded(self, x):
+    def _absorbed_padded(self, x, ln=None):
         """Projections + attention + out-projection in ONE s8 Pallas call
         with head-PADDED weights (ops/pallas/attention.py
         ``absorbed_padded_self_attention_s8``): all heads projected by a
         single full-width s8 matmul, head slices at free 128-aligned
         offsets, to_out as one matmul from the int8 PV scratch. Native
         [B,T,C] layout on both sides — no layout constraints leak into
-        the surrounding graph."""
+        the surrounding graph. With ``ln`` (the block's pre-attention
+        LayerNorm scale/bias), the LN, to_out bias and residual add are
+        absorbed too and the return value is the NEW residual stream
+        ``x + to_out(attn(LN(x)))``."""
         from ..ops.pallas.attention import (
-            absorbed_padded_self_attention_s8, quantize_head_weights)
+            absorbed_padded_self_attention_s8,
+            absorbed_padded_ln_self_attention_s8, quantize_head_weights)
         inner = self.query_dim
         head_dim = inner // self.heads
         scale = head_dim**-0.5
@@ -195,28 +217,30 @@ class CrossAttention(nn.Module):
             scales = jnp.zeros((self.heads, 8, 128), jnp.float32)
             for i, leaf in enumerate((kq, kk, kv, ko)):
                 scales = scales.at[:, 0, i].set(leaf["scale"])
-            out = absorbed_padded_self_attention_s8(
-                x, kq["q"], kk["q"], kv["q"], ko["q"], scales,
-                self.heads, scale, act_scale=xs)
+            w8 = (kq["q"], kk["q"], kv["q"], ko["q"])
         else:
             # correctness path without prequantized weights: quantize
             # in-graph (slow per-step; tests / non-scan callers)
             wq8, wk8, wv8, wo8, scales = quantize_head_weights(
                 kq, kk, kv, ko, self.heads)
             c = inner
-            flat_qkv = lambda w8: jnp.transpose(  # noqa: E731
-                w8, (1, 0, 2)).reshape(c, c)
-            out = absorbed_padded_self_attention_s8(
-                x, flat_qkv(wq8), flat_qkv(wk8), flat_qkv(wv8),
-                wo8.reshape(c, c), scales, self.heads, scale,
+            flat_qkv = lambda w: jnp.transpose(  # noqa: E731
+                w, (1, 0, 2)).reshape(c, c)
+            w8 = (flat_qkv(wq8), flat_qkv(wk8), flat_qkv(wv8),
+                  wo8.reshape(c, c))
+        if ln is not None:
+            return absorbed_padded_ln_self_attention_s8(
+                x, ln[0], ln[1], bo, *w8, scales, self.heads, scale,
                 act_scale=xs)
+        out = absorbed_padded_self_attention_s8(
+            x, *w8, scales, self.heads, scale, act_scale=xs)
         return out + bo.astype(out.dtype)
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, ln=None):
         is_self = context is None
         if self.padded and is_self:
-            return self._absorbed_padded(x)
+            return self._absorbed_padded(x, ln=ln)
         if self.absorbed and is_self:
             return self._absorbed(x)
         context = x if context is None else context
@@ -276,7 +300,38 @@ class FeedForward(nn.Module):
     int8_act_scale: Optional[float] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None):
+        if ln is not None:
+            # fused-norms path: the pre-FF LayerNorm, proj_out bias and
+            # residual add ride inside the GEGLU kernel — returns the
+            # NEW residual stream x + FF(LN(x)).
+            m2 = self.dim * self.mult * 2
+            k1, b1 = _DenseParams(m2, self.dim, use_bias=True,
+                                  name="proj_in")()
+            k2, b2 = _DenseParams(self.dim, m2 // 2, use_bias=True,
+                                  name="proj_out")()
+            from ..ops.pallas.geglu import (
+                fused_geglu_ln_s8, _xla_geglu_ln_s8)
+            if isinstance(k1, dict) and isinstance(k2, dict):
+                return fused_geglu_ln_s8(
+                    x, ln[0], ln[1], k1["q"], k1["scale"], b1,
+                    k2["q"], k2["scale"], b2,
+                    act_scale=self.int8_act_scale or 0.05)
+            # raw kernels (tests / non-prequantized trees): same math
+            # via the XLA fallback with in-graph weight quantization
+            # (per-out-channel, the QuantDense convention)
+            def _qd(w):
+                ws = jnp.maximum(
+                    jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0),
+                    1e-8) / 127.0
+                return (jnp.round(w.astype(jnp.float32) / ws)
+                        .astype(jnp.int8), ws)
+            q1, s1 = _qd(k1)
+            q2, s2 = _qd(k2)
+            return _xla_geglu_ln_s8(
+                x, ln[0], ln[1], q1, q2,
+                jnp.stack([s1, b1.astype(jnp.float32)]), s2[None], b2,
+                self.int8_act_scale or 0.05, 1e-6)
         if self.int8 and self.fused and x.ndim == 3:
             # fused s8 GEGLU (ops/pallas/geglu.py): one VMEM pass for
             # quantize -> W1 -> gate -> quantize -> W2, killing the
@@ -325,33 +380,49 @@ class BasicTransformerBlock(nn.Module):
     padded_attention: bool = False
     int8_ff: bool = False
     fused_ff: bool = False
+    fused_norms: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
 
     @nn.compact
     def __call__(self, x, context=None):
-        h = nn.LayerNorm(name="norm1")(x)
-        x = x + CrossAttention(self.dim, self.heads,
+        # fused-norms (inference): the pre-attention/pre-FF LayerNorms,
+        # out-proj biases and residual adds ride INSIDE the two s8
+        # Pallas kernels, so the whole self-attn block is two custom
+        # calls with zero standalone [B,T,C] elementwise passes. Param
+        # tree is unchanged (_LNParams mirrors nn.LayerNorm).
+        fuse_attn = (self.fused_norms and self.padded_attention)
+        fuse_ff = (self.fused_norms and self.int8_ff and self.fused_ff)
+        attn1 = CrossAttention(self.dim, self.heads,
                                use_fused=self.use_fused_attention,
                                int8=self.int8_attention,
                                packed=self.packed_attention,
                                absorbed=self.absorbed_attention,
                                padded=self.padded_attention,
                                int8_act_scale=self.int8_attn_act_scale,
-                               name="attn1")(h)
+                               name="attn1")
+        if fuse_attn:
+            x = attn1(x, ln=_LNParams(self.dim, name="norm1")())
+        else:
+            h = nn.LayerNorm(name="norm1")(x)
+            x = x + attn1(h)
         if self.use_cross_attention:
             h = nn.LayerNorm(name="norm2")(x)
             x = x + CrossAttention(self.dim, self.heads,
                                    context_dim=self.context_dim,
                                    name="attn2")(h, context)
-        h = nn.LayerNorm(name="norm3")(x)
         # int8_act_scale=None keeps dynamic FF scales (more accurate,
         # rel 3.6% vs 5.3%/fwd); a static scale buys ~1 ms/fwd at b16
-        x = x + FeedForward(self.dim, int8=self.int8_ff,
-                            fused=self.fused_ff,
-                            int8_act_scale=self.int8_act_scale
-                            if self.int8_ff else None,
-                            name="ff")(h)
+        ff = FeedForward(self.dim, int8=self.int8_ff,
+                         fused=self.fused_ff,
+                         int8_act_scale=self.int8_act_scale
+                         if self.int8_ff else None,
+                         name="ff")
+        if fuse_ff:
+            x = ff(x, ln=_LNParams(self.dim, name="norm3")())
+        else:
+            h = nn.LayerNorm(name="norm3")(x)
+            x = x + ff(h)
         return x
 
 
@@ -371,6 +442,7 @@ class Transformer2D(nn.Module):
     padded_attention: bool = False
     int8_ff: bool = False
     fused_ff: bool = False
+    fused_norms: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
 
@@ -395,6 +467,7 @@ class Transformer2D(nn.Module):
                 padded_attention=self.padded_attention,
                 int8_ff=self.int8_ff,
                 fused_ff=self.fused_ff,
+                fused_norms=self.fused_norms,
                 int8_act_scale=self.int8_act_scale,
                 int8_attn_act_scale=self.int8_attn_act_scale,
                 name=f"block{i}")(y, context)
@@ -467,6 +540,7 @@ class DownBlock(nn.Module):
     padded_attention: bool = False
     int8_ff: bool = False
     fused_ff: bool = False
+    fused_norms: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
@@ -494,6 +568,7 @@ class DownBlock(nn.Module):
                 padded_attention=self.padded_attention,
                                   int8_ff=self.int8_ff,
                                   fused_ff=self.fused_ff,
+                fused_norms=self.fused_norms,
                                   int8_act_scale=self.int8_act_scale,
                                   int8_attn_act_scale=self.int8_attn_act_scale,
                                   name=f"attn{i}")(x, context)
@@ -523,6 +598,7 @@ class UpBlock(nn.Module):
     padded_attention: bool = False
     int8_ff: bool = False
     fused_ff: bool = False
+    fused_norms: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
@@ -554,6 +630,7 @@ class UpBlock(nn.Module):
                 padded_attention=self.padded_attention,
                                   int8_ff=self.int8_ff,
                                   fused_ff=self.fused_ff,
+                fused_norms=self.fused_norms,
                                   int8_act_scale=self.int8_act_scale,
                                   int8_attn_act_scale=self.int8_attn_act_scale,
                                   name=f"attn{i}")(x, context)
@@ -579,6 +656,7 @@ class MidBlockCrossAttn(nn.Module):
     padded_attention: bool = False
     int8_ff: bool = False
     fused_ff: bool = False
+    fused_norms: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
@@ -602,6 +680,7 @@ class MidBlockCrossAttn(nn.Module):
                 padded_attention=self.padded_attention,
                           int8_ff=self.int8_ff,
                           fused_ff=self.fused_ff,
+                fused_norms=self.fused_norms,
                           int8_act_scale=self.int8_act_scale,
                           int8_attn_act_scale=self.int8_attn_act_scale,
                           name="attn")(x, context)
@@ -729,6 +808,7 @@ class UNet2DCondition(nn.Module):
                 padded_attention=cfg.use_padded_attention,
                     int8_ff=cfg.use_int8_ff,
                     fused_ff=cfg.use_fused_ff,
+                fused_norms=cfg.use_fused_norms,
                     int8_attn_act_scale=cfg.int8_attn_act_scale,
                     name=f"down_blocks_img{i}")(x_img, emb_img, context)
                 if cfg.add_adaptor:
@@ -772,6 +852,7 @@ class UNet2DCondition(nn.Module):
                 padded_attention=cfg.use_padded_attention,
                 int8_ff=cfg.use_int8_ff,
                 fused_ff=cfg.use_fused_ff,
+                fused_norms=cfg.use_fused_norms,
                 int8_attn_act_scale=cfg.int8_attn_act_scale,
                 name=f"down_blocks{i}")(x, emb, context)
             res_stack.extend(res)
@@ -796,6 +877,7 @@ class UNet2DCondition(nn.Module):
                 padded_attention=cfg.use_padded_attention,
             int8_ff=cfg.use_int8_ff,
             fused_ff=cfg.use_fused_ff,
+                fused_norms=cfg.use_fused_norms,
             int8_attn_act_scale=cfg.int8_attn_act_scale,
             name="mid_block")(x, emb, context)
 
@@ -827,6 +909,7 @@ class UNet2DCondition(nn.Module):
                 padded_attention=cfg.use_padded_attention,
                 int8_ff=cfg.use_int8_ff,
                 fused_ff=cfg.use_fused_ff,
+                fused_norms=cfg.use_fused_norms,
                 int8_attn_act_scale=cfg.int8_attn_act_scale,
                 upsample_size=upsample_size,
                 name=f"up_blocks{i}")(x, res_samples, emb, context)

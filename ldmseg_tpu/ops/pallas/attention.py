@@ -711,6 +711,140 @@ def _attn_kernel_abs_padded_s8(x_ref, wq_ref, wk_ref, wv_ref, wo_ref,
         o_ref.dtype)
 
 
+def _attn_kernel_abs_padded_ln_s8(x_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                                  m_ref, g_ref, sc_ref, o_ref, of_ref, *,
+                                  heads: int, eps: float):
+    """:func:`_attn_kernel_abs_padded_s8` with the transformer block's
+    surrounding elementwise ops absorbed: the pre-attention LayerNorm
+    (in fp32, then static-scale s8 quantize in VMEM), the to_out bias
+    and the residual add — so the block's attention half is ONE custom
+    call with no [B,T,C] activation round-trips between LN, projections
+    and residual. ``g`` tile rows: 0=ln scale, 1=ln bias, 2=to_out bias;
+    ``sc[0, 2]`` carries the static x act scale for the in-kernel
+    quantize. Everything else matches the non-LN kernel."""
+    xf = x_ref[0].astype(jnp.float32)   # [T, C]
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    hn = xc * jax.lax.rsqrt(var + eps) * g_ref[0] + g_ref[1]
+    xs = sc_ref[0, 2]
+    x = jnp.clip(jnp.round(hn / xs), -127, 127).astype(jnp.int8)
+    hp = wq_ref.shape[-1]
+    dp = hp // heads
+
+    def proj(w_ref, row):
+        y32 = jax.lax.dot_general(
+            x, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)               # [T, HP]
+        return jnp.clip(jnp.round(y32.astype(jnp.float32) * m_ref[row]),
+                        -127, 127).astype(jnp.int8)
+
+    q8 = proj(wq_ref, 0)
+    k8 = proj(wk_ref, 1)
+    v8 = proj(wv_ref, 2)
+    for h in range(heads):
+        qh = q8[:, h * dp:(h + 1) * dp]
+        kh = k8[:, h * dp:(h + 1) * dp]
+        vh = v8[:, h * dp:(h + 1) * dp]
+        s32 = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)               # [T, T]
+        s = s32.astype(jnp.float32) * sc_ref[0, 0]
+        s = s - jnp.max(s, axis=-1, keepdims=True) + 4.844187086458591
+        e = jnp.exp(s)                                      # rowmax == 127
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        e8 = jnp.round(e).astype(jnp.int8)
+        o32 = jax.lax.dot_general(
+            e8, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)               # [T, dp]
+        of_ref[:, h * dp:(h + 1) * dp] = jnp.clip(
+            jnp.round(o32.astype(jnp.float32) * (sc_ref[1, h] / denom)),
+            -127, 127).astype(jnp.int8)
+    out32 = jax.lax.dot_general(
+        of_ref[...], wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                   # [T, C]
+    o_ref[0] = (xf + out32.astype(jnp.float32) * sc_ref[0, 1]
+                + g_ref[2]).astype(o_ref.dtype)
+
+
+def _abs_padded_ln_s8_impl(x, wqp, wkp, wvp, wop, m, g, sc, heads, eps,
+                           interpret=False):
+    b, t, c = x.shape
+    hp = wqp.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_abs_padded_ln_s8, heads=heads,
+                          eps=eps),
+        grid=(b,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wqp.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wkp.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wvp.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wop.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(m.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(g.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((t, hp), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(x, wqp, wkp, wvp, wop, m, g, sc)
+
+
+def absorbed_padded_ln_self_attention_s8(
+    x: jnp.ndarray, ln_scale, ln_bias, out_bias,
+    wq8, wk8, wv8, wo8, scales,
+    heads: int, scale: float, act_scale: float,
+    attn_scale: float = 0.1, eps: float = 1e-6, max_seq: int = 2048,
+) -> jnp.ndarray:
+    """``x + to_out(attn(LN(x)))`` in one fused s8 kernel — the padded
+    absorbed kernel plus the block's pre-attention LayerNorm, to_out
+    bias and residual add (see the kernel docstring). Same prequantized
+    weight storage as :func:`absorbed_padded_self_attention_s8`."""
+    b, t, c = x.shape
+    d = c // heads
+
+    def _ln(xx):
+        xf = xx.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        return (xc * jax.lax.rsqrt(var + eps)
+                * ln_scale.astype(jnp.float32)
+                + ln_bias.astype(jnp.float32)).astype(xx.dtype)
+
+    if (t > max_seq or t % 8 != 0 or c % heads != 0 or d % 8 != 0
+            or jax.default_backend() == "cpu"):
+        h = _ln(x)
+        attn = absorbed_padded_self_attention_s8(
+            h, wq8, wk8, wv8, wo8, scales, heads, scale, act_scale,
+            attn_scale, max_seq)
+        return (x.astype(jnp.float32) + attn.astype(jnp.float32)
+                + out_bias.astype(jnp.float32)).astype(x.dtype)
+
+    wqp, wkp, wvp, wop, m, sc = _abs_padded_prep(
+        wq8, wk8, wv8, wo8, scales, heads, act_scale, attn_scale, scale)
+    sc = sc.at[0, 2].set(jnp.float32(act_scale))
+    g = jnp.zeros((8, c), jnp.float32)
+    g = g.at[0].set(ln_scale.astype(jnp.float32))
+    g = g.at[1].set(ln_bias.astype(jnp.float32))
+    g = g.at[2].set(out_bias.astype(jnp.float32))
+    return _abs_padded_ln_s8_impl(x, wqp, wkp, wvp, wop, m, g, sc,
+                                  heads, eps).astype(x.dtype)
+
+
 def _abs_padded_prep(wq8, wk8, wv8, wo8, scales, heads,
                      act_scale, attn_scale, softmax_scale):
     """Loop-invariant prep for the padded absorbed s8 kernel: pad the

@@ -102,6 +102,113 @@ def _geglu_impl(x, w1q, w2q, s1, s2, sc, block_t):
     )(x, w1q, w2q, s1, s2, sc)
 
 
+def _geglu_ln_kernel(x_ref, w1_ref, w2_ref, s1_ref, s2_ref, g_ref,
+                     sc_ref, o_ref, *, eps: float):
+    """LN3 + GEGLU + proj_out bias + residual in one VMEM pass.
+
+    Same math as :func:`_geglu_kernel` with the transformer block's
+    surrounding elementwise ops absorbed: the pre-FF LayerNorm (whose
+    [B,T,C] output otherwise round-trips HBM), the proj_out bias, and
+    the residual add (another full [B,T,C] read+write). ``g`` tile rows:
+    0=ln scale, 1=ln bias, 2=proj_out bias."""
+    xf = x_ref[0].astype(jnp.float32)             # [BQ, C]
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    h = xc * jax.lax.rsqrt(var + eps) * g_ref[0] + g_ref[1]
+    xs = sc_ref[0, 0]
+    x8 = jnp.clip(jnp.round(h / xs), -127, 127).astype(jnp.int8)
+    u32 = jax.lax.dot_general(
+        x8, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)         # [BQ, 2M]
+    u = u32.astype(jnp.float32) * (xs * s1_ref[0]) + s1_ref[1]
+    m = u.shape[-1] // 2
+    g = u[:, :m] * _gelu_tanh(u[:, m:])           # [BQ, M]
+    gs = jnp.maximum(jnp.max(jnp.abs(g)), 1e-6) / 127.0
+    g8 = jnp.round(g / gs).astype(jnp.int8)
+    y32 = jax.lax.dot_general(
+        g8, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)         # [BQ, C]
+    y = xf + y32.astype(jnp.float32) * (gs * s2_ref[0]) + g_ref[2]
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _geglu_ln_impl(x, w1q, w2q, s1, s2, g, sc, block_t, eps):
+    b, t, c = x.shape
+    block_t = min(block_t, t)
+    grid = (b, t // block_t)
+    return pl.pallas_call(
+        functools.partial(_geglu_ln_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_t, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1q.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2q.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(s1.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(s2.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(g.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_t, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, w1q, w2q, s1, s2, g, sc)
+
+
+def _xla_geglu_ln_s8(x, ln_scale, ln_bias, w1q, w2q, s1, s2, b2,
+                     act_scale, eps):
+    """Fallback: same LN + quantized-FF + residual math in XLA."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    h = (xc * jax.lax.rsqrt(var + eps) * ln_scale.astype(jnp.float32)
+         + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    y = _xla_geglu_s8(h, w1q, w2q, s1, s2, act_scale)
+    return (xf + y.astype(jnp.float32)
+            + b2.astype(jnp.float32)).astype(x.dtype)
+
+
+def fused_geglu_ln_s8(
+    x: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+    w1q: jnp.ndarray, s1: jnp.ndarray, b1: jnp.ndarray,
+    w2q: jnp.ndarray, s2: jnp.ndarray, b2: jnp.ndarray,
+    act_scale: float, eps: float = 1e-6, block_t: int = 512,
+) -> jnp.ndarray:
+    """``x + proj_out(geglu(proj_in(LN(x))))`` in one fused s8 kernel.
+
+    Same weight format as :func:`fused_geglu_s8` plus the block's
+    pre-FF LayerNorm params and the proj_out bias ``b2 [C]`` (both
+    previously applied by separate XLA passes over the full [B, T, C]
+    activation)."""
+    b, t, c = x.shape
+    if (t % 8 != 0 or t % min(block_t, t) != 0
+            or jax.default_backend() == "cpu"):
+        return _xla_geglu_ln_s8(x, ln_scale, ln_bias, w1q, w2q,
+                                jnp.stack([s1, b1.astype(jnp.float32)]),
+                                s2[None], b2, act_scale, eps)
+    s1t = jnp.zeros((8, s1.shape[0]), jnp.float32).at[0].set(
+        s1).at[1].set(b1.astype(jnp.float32))
+    s2t = jnp.zeros((8, s2.shape[0]), jnp.float32).at[0].set(s2)
+    g = jnp.zeros((8, c), jnp.float32)
+    g = g.at[0].set(ln_scale.astype(jnp.float32))
+    g = g.at[1].set(ln_bias.astype(jnp.float32))
+    g = g.at[2].set(b2.astype(jnp.float32))
+    sc = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(
+        jnp.float32(act_scale))
+    return _geglu_ln_impl(x, w1q, w2q, s1t, s2t, g, sc,
+                          min(block_t, t), eps).astype(x.dtype)
+
+
 def _xla_geglu_s8(x, w1q, w2q, s1, s2, act_scale):
     """Fallback with the same quantization math (QuantDense semantics)."""
     xs = jnp.float32(act_scale)

@@ -670,3 +670,155 @@ def test_unet_padded_attention_builds_and_prequantizes():
     yq = uq.apply(pq, x, t)
     corr = np.corrcoef(np.asarray(y0).ravel(), np.asarray(yq).ravel())[0, 1]
     assert np.isfinite(np.asarray(yq)).all() and corr > 0.99, corr
+
+
+def test_geglu_ln_kernel_interpret_mode():
+    """LN+GEGLU+residual kernel must match the XLA fallback math (same
+    quantization semantics) within the gelu-approximation tolerance."""
+    import functools
+    from ldmseg_tpu.ops.pallas.geglu import (
+        _geglu_ln_kernel, _geglu_ln_impl, _xla_geglu_ln_s8,
+        fused_geglu_ln_s8)
+    b, t, c, m = 2, 16, 64, 128
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    g1 = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+    w1 = jnp.asarray(rng.randn(c, 2 * m) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.randn(2 * m) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.randn(m, c) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.randn(c) * 0.05, jnp.float32)
+
+    def qd(w):
+        ws = np.maximum(np.abs(np.asarray(w)).max(axis=0), 1e-8) / 127.0
+        return (jnp.asarray(np.round(np.asarray(w) / ws), jnp.int8),
+                jnp.asarray(ws, jnp.float32))
+    w1q, s1 = qd(w1)
+    w2q, s2 = qd(w2)
+    act_scale = 0.05
+    ref = _xla_geglu_ln_s8(x, g1, be1, w1q, w2q,
+                           jnp.stack([s1, b1]), s2[None], b2,
+                           act_scale, 1e-6)
+    # interpret-mode kernel via the impl with the wrapper's tiles
+    s1t = jnp.zeros((8, 2 * m), jnp.float32).at[0].set(s1).at[1].set(b1)
+    s2t = jnp.zeros((8, c), jnp.float32).at[0].set(s2)
+    gt = jnp.zeros((8, c), jnp.float32).at[0].set(g1).at[1].set(
+        be1).at[2].set(b2)
+    sc = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(act_scale)
+    out = pl.pallas_call(
+        functools.partial(_geglu_ln_kernel, eps=1e-6),
+        grid=(b, 1),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec(w1q.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(w2q.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(s1t.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(s2t.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(gt.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+        interpret=True,
+    )(x, w1q, w2q, s1t, s2t, gt, sc)
+    out = np.asarray(out, np.float32)
+    refn = np.asarray(ref, np.float32)
+    rel = np.abs(out - refn).mean() / np.abs(refn).mean()
+    assert rel < 0.02, rel  # tanh-vs-exact gelu + bf16 rounding only
+    # public wrapper on CPU dispatches the fallback exactly
+    fb = fused_geglu_ln_s8(x, g1, be1, w1q, s1, b1, w2q, s2, b2,
+                           act_scale)
+    np.testing.assert_allclose(np.asarray(fb, np.float32), refn,
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_absorbed_padded_ln_s8_kernel_interpret_mode():
+    """LN+attention+residual padded kernel vs float LN->attn->residual
+    reference; the CPU dispatch fallback matches the same semantics."""
+    from ldmseg_tpu.ops.pallas.attention import (
+        _abs_padded_prep, _abs_padded_ln_s8_impl,
+        absorbed_padded_ln_self_attention_s8, quantize_head_weights,
+        _xla_bthd)
+    b, t, heads, d = 2, 32, 4, 8
+    c = heads * d
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    g1 = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+    bo = jnp.asarray(0.05 * rng.randn(c), jnp.float32)
+    wq, wk, wv, wo = (jnp.asarray(rng.randn(c, c), jnp.float32) * 0.2
+                      for _ in range(4))
+    scale = d**-0.5
+
+    xf = np.asarray(x, np.float32)
+    mu = xf.mean(-1, keepdims=True)
+    xc = xf - mu
+    hn = (xc / np.sqrt((xc * xc).mean(-1, keepdims=True) + 1e-6)
+          * np.asarray(g1) + np.asarray(be1))
+    hj = jnp.asarray(hn, jnp.float32)
+    q = (hj @ wq).reshape(b, t, heads, d)
+    k = (hj @ wk).reshape(b, t, heads, d)
+    v = (hj @ wv).reshape(b, t, heads, d)
+    ref = (xf + np.asarray(
+        _xla_bthd(q, k, v, scale).reshape(b, t, c) @ wo)
+        + np.asarray(bo))
+
+    wq8, wk8, wv8, wo8, scales = quantize_head_weights(wq, wk, wv, wo,
+                                                       heads)
+    flat_qkv = lambda w8: jnp.transpose(  # noqa: E731
+        w8, (1, 0, 2)).reshape(c, c)
+    w8 = (flat_qkv(wq8), flat_qkv(wk8), flat_qkv(wv8),
+          wo8.reshape(c, c))
+    act_scale = float(np.abs(hn).max()) / 127.0
+    attn_scale = float(max(np.abs(np.asarray(p)).max()
+                           for p in (q, k, v))) / 127.0
+    wqp, wkp, wvp, wop, mm, sc = _abs_padded_prep(
+        *w8, scales, heads, act_scale, attn_scale, scale)
+    sc = sc.at[0, 2].set(act_scale)
+    gt = jnp.zeros((8, c), jnp.float32).at[0].set(g1).at[1].set(
+        be1).at[2].set(bo)
+    out = _abs_padded_ln_s8_impl(x, wqp, wkp, wvp, wop, mm, gt, sc,
+                                 heads, 1e-6, interpret=True)
+    out = np.asarray(out, np.float32)
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.10, rel
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.985, corr
+    # dispatch fallback (CPU backend)
+    fb = absorbed_padded_ln_self_attention_s8(
+        x, g1, be1, bo, *w8, scales, heads, scale, act_scale, attn_scale)
+    fb = np.asarray(fb, np.float32)
+    rel_fb = np.abs(fb - ref).mean() / np.abs(ref).mean()
+    assert rel_fb < 0.05, rel_fb
+
+
+def test_unet_fused_norms_builds_and_matches():
+    """use_fused_norms keeps the param tree identical (LN params via
+    _LNParams) and matches the plain UNet on CPU through both the raw
+    and prequantized trees."""
+    from ldmseg_tpu.models import UNet2DCondition, UNetConfig
+    from ldmseg_tpu.ops.quant import prequantize_conv_tree
+    base = dict(in_channels=4, block_out_channels=(32, 64),
+                layers_per_block=1, attn_down=(True, True),
+                attention_head_dim=2, norm_num_groups=8,
+                use_cross_attention=False)
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
+    t = jnp.array([3, 7], jnp.int32)
+    u0 = UNet2DCondition(config=UNetConfig(**base))
+    p = u0.init(jax.random.key(0), x, t)
+    y0 = u0.apply(p, x, t)
+    fused = dict(base, use_padded_attention=True, use_int8_ff=True,
+                 use_fused_ff=True, use_fused_norms=True)
+    uf = UNet2DCondition(config=UNetConfig(**fused))
+    pf = uf.init(jax.random.key(0), x, t)
+    assert jax.tree_util.tree_structure(p) == \
+        jax.tree_util.tree_structure(pf)
+    y1 = uf.apply(p, x, t)
+    corr = np.corrcoef(np.asarray(y0).ravel(), np.asarray(y1).ravel())[0, 1]
+    assert np.isfinite(np.asarray(y1)).all() and corr > 0.99, corr
+    pq = prequantize_conv_tree(p, quantize_ff=True,
+                               absorbed_attention=True, attention_heads=2)
+    uq = UNet2DCondition(config=UNetConfig(**fused, use_int8_conv=True))
+    yq = uq.apply(pq, x, t)
+    corr = np.corrcoef(np.asarray(y0).ravel(), np.asarray(yq).ravel())[0, 1]
+    assert np.isfinite(np.asarray(yq)).all() and corr > 0.99, corr
