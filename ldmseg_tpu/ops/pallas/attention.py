@@ -713,7 +713,8 @@ def _attn_kernel_abs_padded_s8(x_ref, wq_ref, wk_ref, wv_ref, wo_ref,
 
 def _attn_kernel_abs_padded_ln_s8(x_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                                   m_ref, g_ref, sc_ref, o_ref, of_ref, *,
-                                  heads: int, eps: float):
+                                  heads: int, eps: float,
+                                  v_bf16: bool = False):
     """:func:`_attn_kernel_abs_padded_s8` with the transformer block's
     surrounding elementwise ops absorbed: the pre-attention LayerNorm
     (in fp32, then static-scale s8 quantize in VMEM), the to_out bias
@@ -721,7 +722,15 @@ def _attn_kernel_abs_padded_ln_s8(x_ref, wq_ref, wk_ref, wv_ref, wo_ref,
     call with no [B,T,C] activation round-trips between LN, projections
     and residual. ``g`` tile rows: 0=ln scale, 1=ln bias, 2=to_out bias;
     ``sc[0, 2]`` carries the static x act scale for the in-kernel
-    quantize. Everything else matches the non-LN kernel."""
+    quantize. Everything else matches the non-LN kernel.
+
+    ``v_bf16``: keep V, the probabilities and to_out in bf16 — V
+    dequantizes through ``m`` row 3 (real-unit per-column scales), the
+    unnormalized exp goes straight to bf16 (no e8/of8 round+clip VPU
+    sweeps — the projection quantize chain is the kernel's measured
+    bottleneck, BENCH_NOTES round 3), PV and to_out run bf16 MXU, and
+    ``wo_ref`` arrives pre-dequantized bf16. More accurate AND faster:
+    1.48 vs 1.63 ms for the T=2048 layer."""
     xf = x_ref[0].astype(jnp.float32)   # [T, C]
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     xc = xf - mu
@@ -741,6 +750,33 @@ def _attn_kernel_abs_padded_ln_s8(x_ref, wq_ref, wk_ref, wv_ref, wo_ref,
 
     q8 = proj(wq_ref, 0)
     k8 = proj(wk_ref, 1)
+    if v_bf16:
+        v32 = jax.lax.dot_general(
+            x, wv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        vb = (v32.astype(jnp.float32) * m_ref[3]).astype(jnp.bfloat16)
+        for h in range(heads):
+            qh = q8[:, h * dp:(h + 1) * dp]
+            kh = k8[:, h * dp:(h + 1) * dp]
+            vh = vb[:, h * dp:(h + 1) * dp]
+            s32 = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)           # [T, T]
+            s = s32.astype(jnp.float32) * sc_ref[0, 0]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s).astype(jnp.bfloat16)
+            denom = jnp.sum(e.astype(jnp.float32), axis=-1,
+                            keepdims=True)
+            ov = jax.lax.dot_general(
+                e, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [T, dp]
+            of_ref[:, h * dp:(h + 1) * dp] = (ov / denom).astype(
+                jnp.bfloat16)
+        out = jax.lax.dot_general(
+            of_ref[...], wo_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [T, C]
+        o_ref[0] = (xf + out + g_ref[2]).astype(o_ref.dtype)
+        return
     v8 = proj(wv_ref, 2)
     for h in range(heads):
         qh = q8[:, h * dp:(h + 1) * dp]
@@ -768,12 +804,12 @@ def _attn_kernel_abs_padded_ln_s8(x_ref, wq_ref, wk_ref, wv_ref, wo_ref,
 
 
 def _abs_padded_ln_s8_impl(x, wqp, wkp, wvp, wop, m, g, sc, heads, eps,
-                           interpret=False):
+                           v_bf16=False, interpret=False):
     b, t, c = x.shape
     hp = wqp.shape[-1]
     return pl.pallas_call(
         functools.partial(_attn_kernel_abs_padded_ln_s8, heads=heads,
-                          eps=eps),
+                          eps=eps, v_bf16=v_bf16),
         grid=(b,),
         interpret=interpret,
         in_specs=[
@@ -797,7 +833,8 @@ def _abs_padded_ln_s8_impl(x, wqp, wkp, wvp, wop, m, g, sc, heads, eps,
         out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((t, hp), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM(
+            (t, hp), jnp.bfloat16 if v_bf16 else jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(x, wqp, wkp, wvp, wop, m, g, sc)
@@ -808,11 +845,14 @@ def absorbed_padded_ln_self_attention_s8(
     wq8, wk8, wv8, wo8, scales,
     heads: int, scale: float, act_scale: float,
     attn_scale: float = 0.1, eps: float = 1e-6, max_seq: int = 2048,
+    v_bf16: bool = True,
 ) -> jnp.ndarray:
     """``x + to_out(attn(LN(x)))`` in one fused s8 kernel — the padded
     absorbed kernel plus the block's pre-attention LayerNorm, to_out
     bias and residual add (see the kernel docstring). Same prequantized
-    weight storage as :func:`absorbed_padded_self_attention_s8`."""
+    weight storage as :func:`absorbed_padded_self_attention_s8`.
+    ``v_bf16`` (default): V/probabilities/to_out in bf16 — faster (the
+    VPU quantize chain dominates the kernel) and more accurate."""
     b, t, c = x.shape
     d = c // heads
 
@@ -837,12 +877,21 @@ def absorbed_padded_ln_self_attention_s8(
     wqp, wkp, wvp, wop, m, sc = _abs_padded_prep(
         wq8, wk8, wv8, wo8, scales, heads, act_scale, attn_scale, scale)
     sc = sc.at[0, 2].set(jnp.float32(act_scale))
+    if v_bf16:
+        # real-unit V dequant scales (m row 3) + pre-dequantized bf16 wo
+        dp = wqp.shape[-1] // heads
+        m = m.at[3].set(jnp.repeat(scales[:, 0, 2], dp)
+                        * jnp.float32(act_scale))
+        wop = (wop.astype(jnp.float32)
+               * jnp.repeat(scales[:, 0, 3], dp)[:, None]
+               ).astype(jnp.bfloat16)
     g = jnp.zeros((8, c), jnp.float32)
     g = g.at[0].set(ln_scale.astype(jnp.float32))
     g = g.at[1].set(ln_bias.astype(jnp.float32))
     g = g.at[2].set(out_bias.astype(jnp.float32))
     return _abs_padded_ln_s8_impl(x, wqp, wkp, wvp, wop, m, g, sc,
-                                  heads, eps).astype(x.dtype)
+                                  heads, eps,
+                                  v_bf16=v_bf16).astype(x.dtype)
 
 
 def _abs_padded_prep(wq8, wk8, wv8, wo8, scales, heads,

@@ -822,3 +822,64 @@ def test_unet_fused_norms_builds_and_matches():
     yq = uq.apply(pq, x, t)
     corr = np.corrcoef(np.asarray(y0).ravel(), np.asarray(yq).ravel())[0, 1]
     assert np.isfinite(np.asarray(yq)).all() and corr > 0.99, corr
+
+
+def test_absorbed_padded_ln_vbf16_kernel_interpret_mode():
+    """v_bf16 variant of the LN+attention+residual kernel (bf16 V /
+    probabilities / to_out, no e8/of8 quantization) must BEAT the s8
+    variant's error against the float reference."""
+    from ldmseg_tpu.ops.pallas.attention import (
+        _abs_padded_prep, _abs_padded_ln_s8_impl, quantize_head_weights,
+        _xla_bthd)
+    b, t, heads, d = 2, 32, 4, 8
+    c = heads * d
+    rng = np.random.RandomState(17)
+    x = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    g1 = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+    bo = jnp.asarray(0.05 * rng.randn(c), jnp.float32)
+    wq, wk, wv, wo = (jnp.asarray(rng.randn(c, c), jnp.float32) * 0.2
+                      for _ in range(4))
+    scale = d**-0.5
+    xf = np.asarray(x, np.float32)
+    mu = xf.mean(-1, keepdims=True)
+    xc = xf - mu
+    hn = (xc / np.sqrt((xc * xc).mean(-1, keepdims=True) + 1e-6)
+          * np.asarray(g1) + np.asarray(be1))
+    hj = jnp.asarray(hn, jnp.float32)
+    q = (hj @ wq).reshape(b, t, heads, d)
+    k = (hj @ wk).reshape(b, t, heads, d)
+    v = (hj @ wv).reshape(b, t, heads, d)
+    ref = (xf + np.asarray(
+        _xla_bthd(q, k, v, scale).reshape(b, t, c) @ wo) + np.asarray(bo))
+
+    wq8, wk8, wv8, wo8, scales = quantize_head_weights(wq, wk, wv, wo,
+                                                       heads)
+    flat_qkv = lambda w8: jnp.transpose(  # noqa: E731
+        w8, (1, 0, 2)).reshape(c, c)
+    w8 = (flat_qkv(wq8), flat_qkv(wk8), flat_qkv(wv8), wo8.reshape(c, c))
+    act_scale = float(np.abs(hn).max()) / 127.0
+    attn_scale = float(max(np.abs(np.asarray(p)).max()
+                           for p in (q, k, v))) / 127.0
+    gt = jnp.zeros((8, c), jnp.float32).at[0].set(g1).at[1].set(
+        be1).at[2].set(bo)
+
+    rels = {}
+    for v_bf16 in (False, True):
+        wqp, wkp, wvp, wop, mm, sc = _abs_padded_prep(
+            *w8, scales, heads, act_scale, attn_scale, scale)
+        sc = sc.at[0, 2].set(act_scale)
+        if v_bf16:
+            dp = wqp.shape[-1] // heads
+            mm = mm.at[3].set(jnp.repeat(scales[:, 0, 2], dp) * act_scale)
+            wop = (wop.astype(jnp.float32)
+                   * jnp.repeat(scales[:, 0, 3], dp)[:, None]
+                   ).astype(jnp.bfloat16)
+        out = _abs_padded_ln_s8_impl(x, wqp, wkp, wvp, wop, mm, gt, sc,
+                                     heads, 1e-6, v_bf16=v_bf16,
+                                     interpret=True)
+        out = np.asarray(out, np.float32)
+        rels[v_bf16] = np.abs(out - ref).mean() / np.abs(ref).mean()
+        assert np.isfinite(out).all()
+    assert rels[True] < rels[False], rels
+    assert rels[True] < 0.06, rels
