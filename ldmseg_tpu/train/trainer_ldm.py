@@ -131,19 +131,29 @@ class TrainerDiffusion:
         # (BENCH_NOTES.md round-2 table).
         self.int8_inference = bool(sk.get("int8_inference", False))
         if self.int8_inference:
+            # fused-norms transformer path (round 3, the bench.py 9.14 f/s
+            # config): LN1 + projections + attention + to_out + residual in
+            # one padded s8 kernel, LN3 + GEGLU + residual in another —
+            # the self-attn block is exactly two custom calls
+            fused_norms = bool(sk.get("fused_norms", True))
             self.unet_infer = UNet2DCondition(config=dataclasses.replace(
                 unet_config,
                 use_int8_conv=True,
                 int8_act_scale=sk.get("int8_act_scale", 0.05),
-                use_int8_attention=True,
+                use_int8_attention=not fused_norms,
                 use_int8_ff=True,
                 # fused s8 GEGLU kernel: the whole feed-forward chain in
                 # one VMEM pass (-3.6 ms/fwd at b16, BENCH_NOTES r3)
                 use_fused_ff=sk.get("fused_ff", True),
-                use_fused_attention=True))
+                use_fused_attention=not fused_norms,
+                use_padded_attention=fused_norms,
+                use_fused_norms=fused_norms,
+                int8_attn_act_scale=sk.get("int8_attn_act_scale", 0.1)))
             from ..ops.quant import prequantize_conv_tree
             self._prequant = jax.jit(functools.partial(
-                prequantize_conv_tree, quantize_ff=True))
+                prequantize_conv_tree, quantize_ff=True,
+                absorbed_attention=fused_norms,
+                attention_heads=unet_config.attention_head_dim))
         else:
             self.unet_infer = self.unet
 
