@@ -1,0 +1,73 @@
+"""Sampling-accuracy check on TPU: bf16 vs int8 config over a 50-step
+DDIM scan at bench shapes; prints final-x0 correlation."""
+import sys, functools, time
+import numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from ldmseg_tpu.models import UNet2DCondition, UNetConfig
+from ldmseg_tpu.diffusion import make_ddim_schedule, ddim_sample
+from ldmseg_tpu.ops.quant import prequantize_conv_tree
+
+batch, lh, lw = 8, 32, 64
+dtype = jnp.bfloat16
+base = dict(in_channels=8, use_cross_attention=False)
+
+cfg_bf = UNetConfig(**base, use_fused_attention=True)
+unet_bf = UNet2DCondition(config=cfg_bf)
+p = jax.jit(unet_bf.init)(jax.random.key(0),
+                          jnp.zeros((1, lh, lw, 8), dtype),
+                          jnp.zeros((1,), jnp.int32))
+cast = lambda t: jax.tree_util.tree_map(
+    lambda x: x.astype(dtype) if hasattr(x, "dtype")
+    and x.dtype == jnp.float32 else x, t)
+p = cast(p)
+
+sched = make_ddim_schedule(beta_schedule="scaled_linear",
+                           beta_start=0.00085, beta_end=0.012,
+                           clip_sample=False, set_alpha_to_one=False)
+rgb_latents = jax.random.normal(jax.random.key(5), (batch, lh, lw, 4),
+                                dtype) * 0.5
+init = jax.random.normal(jax.random.key(6), (batch, lh, lw, 4))
+
+def sample_with(unet, params):
+    @jax.jit
+    def go(params):
+        def model_fn(latents, condition, t):
+            inp = jnp.concatenate([latents.astype(dtype), rgb_latents],
+                                  axis=-1)
+            return unet.apply(params, inp, t).astype(jnp.float32)
+        return ddim_sample(sched, model_fn, init, num_inference_steps=50)
+    out = go(params)
+    return np.asarray(out, np.float32)
+
+x_bf = sample_with(unet_bf, p)
+
+which = sys.argv[1] if len(sys.argv) > 1 else "C"
+if which == "C":
+    cfg_i8 = UNetConfig(**base, use_padded_attention=True,
+                        use_int8_conv=True, int8_act_scale=0.05,
+                        use_int8_ff=True, use_fused_ff=True,
+                        int8_attn_act_scale=0.1, use_fused_norms=True)
+    absorbed = True
+elif which == "B":
+    cfg_i8 = UNetConfig(**base, use_fused_attention=True,
+                        use_int8_conv=True, int8_act_scale=0.05,
+                        use_int8_ff=True, use_fused_ff=True,
+                        int8_attn_act_scale=0.1, use_int8_attention=True,
+                        use_fused_norms=True)
+    absorbed = False
+else:  # A: current bench config
+    cfg_i8 = UNetConfig(**base, use_fused_attention=True,
+                        use_int8_conv=True, int8_act_scale=0.05,
+                        use_int8_ff=True, use_fused_ff=True,
+                        int8_attn_act_scale=0.1, use_int8_attention=True)
+    absorbed = False
+
+pq = jax.jit(functools.partial(prequantize_conv_tree, quantize_ff=True,
+                               absorbed_attention=absorbed,
+                               attention_heads=8))(p)
+x_i8 = sample_with(UNet2DCondition(config=cfg_i8), pq)
+corr = np.corrcoef(x_bf.ravel(), x_i8.ravel())[0, 1]
+rel = np.abs(x_bf - x_i8).mean() / np.abs(x_bf).mean()
+print(f"{which}: sampling corr={corr:.5f} rel={rel:.4f} "
+      f"finite={np.isfinite(x_i8).all()}")
