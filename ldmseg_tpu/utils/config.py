@@ -136,6 +136,14 @@ DEFAULT_CONFIG: dict = {
         # static conv act scale; measure on real data with
         # ops.quant.calibrate_act_scale before deploying a checkpoint
         "int8_act_scale": 0.05,
+        # static q/k/v act scale for the s8 attention kernels
+        "int8_attn_act_scale": 0.1,
+        # fused-norms transformer inference (LN + projections + attention
+        # + residual in one padded s8 kernel, LN + GEGLU in another);
+        # the fastest int8 path — disable to fall back to the flat
+        # s8-attention + fused-FF pipeline
+        "fused_norms": True,
+        "fused_ff": True,
     },
     "eval_kwargs": {
         "mask_th": 0.5,

@@ -333,3 +333,52 @@ def test_seg_vae_int8_decoder():
         agree = (ref.argmax(-1) == out.argmax(-1)).mean()
         assert corr > 0.99, corr
         assert agree > 0.9, agree
+
+
+def test_trainer_int8_fused_norms_with_cross_attention(tmp_path):
+    """The fused-norms default (padded s8 self-attention) must compose
+    with LIVE cross-attention + CFG: self-attn rides the padded kernel,
+    cross-attn stays bf16 Dense, and guided sampling stays finite and
+    tracks the bf16 trainer."""
+    from ldmseg_tpu.data import SyntheticDVPS, Loader
+    from ldmseg_tpu.models.descriptors import DescriptorSpec
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+    from ldmseg_tpu.utils.config import DEFAULT_CONFIG, merge_dicts
+
+    small = merge_dicts(DEFAULT_CONFIG, {
+        "vae_model_kwargs": {
+            "in_channels": 10, "int_channels": 32, "out_channels": 32,
+            "block_out_channels": [8, 16, 16, 32], "num_upscalers": 2,
+            "upscale_channels": 32, "norm_num_groups": 8,
+        },
+        "train_kwargs": {"batch_size": 4, "train_num_steps": 1,
+                         "weight_dtype": "bfloat16"},
+        "sampling_kwargs": {"num_inference_steps": 2,
+                            "guidance_scale": 3.0},
+        "ignore_label": 0,
+    })
+    ucfg = UNetConfig(in_channels=8, out_channels=4,
+                      block_out_channels=(16, 32), layers_per_block=1,
+                      cross_attention_dim=16, attention_head_dim=2,
+                      norm_num_groups=8, attn_down=(True, True),
+                      use_cross_attention=True)
+    spec = DescriptorSpec(kind="none", use_cross_attention=True)
+    ds = SyntheticDVPS(length=4, size=(64, 128), num_classes=20)
+    batch = next(iter(Loader(ds, 4, shuffle=False)))
+    batch["context"] = np.random.RandomState(0).randn(
+        4, 4, 16).astype(np.float32)
+
+    outs = {}
+    for name, extra in (("bf16", {}), ("int8", {"int8_inference": True})):
+        cfg = merge_dicts(small, {"sampling_kwargs": extra})
+        tr = TrainerDiffusion(cfg, unet_config=ucfg, descriptor=spec,
+                              results_folder=str(tmp_path / name))
+        tr.init_state(batch, seed=0)
+        assert tr.unet_infer.config.use_padded_attention == \
+            (name == "int8")
+        logits, _ = tr.sample_panoptic(batch, jax.random.key(0),
+                                       num_inference_steps=2)
+        outs[name] = np.asarray(logits, np.float32)
+        assert np.isfinite(outs[name]).all()
+    corr = np.corrcoef(outs["bf16"].ravel(), outs["int8"].ravel())[0, 1]
+    assert corr > 0.98, corr
