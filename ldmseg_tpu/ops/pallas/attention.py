@@ -9,8 +9,10 @@ q-block) grid step with K/V held resident — zero HBM score traffic.
 
 Cost model: both matmuls pad D=40 to the 128 lane width; total padded
 FLOPs ~2x137 GFLOP for the 2048-token layer vs ~2.7 GB of HBM traffic
-saved. Forward-only (inference sampler); training falls back to XLA via
-``custom_vjp``'s recompute path.
+saved. Training uses the flash-style backward kernel (``_flash_bwd``:
+recompute the P row block in VMEM, accumulate dK/dV in fp32 across
+q-blocks) — the XLA vjp fallback (CPU) round-trips the [BH, T, T] fp32
+softmax through HBM.
 """
 
 from __future__ import annotations
@@ -1031,6 +1033,97 @@ def _xla_reference(q, k, v, scale):
     return jnp.einsum("bqk,bkd->bqd", p, v)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Flash-style attention backward, one (batch*head, q-block) grid
+    step: recompute the softmax row block P in VMEM (same cost model as
+    the forward — zero HBM score traffic), then
+
+        dV += P^T dO,  dP = dO V^T,  dS = P (dP - rowsum(dP P)),
+        dQ  = dS K * scale,  dK += dS^T Q * scale.
+
+    dK/dV blocks map every q-step to the same (i, 0, 0) slot; TPU grid
+    iteration is sequential with the q axis innermost, so the revisited
+    block accumulates in fp32 across q-blocks (initialized at j == 0)."""
+    j = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)       # [BQ, D]
+    k = k_ref[0].astype(jnp.float32)       # [T, D]
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)     # [BQ, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale        # [BQ, T]
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)             # [BQ, T]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [BQ, T]
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale        # [BQ, D]
+    dq_ref[...] = dq.reshape(dq_ref.shape).astype(dq_ref.dtype)
+    part_k = (jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale)       # [T, D]
+    part_v = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [T, D]
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[...] = part_k.reshape(dk_ref.shape)
+        dv_ref[...] = part_v.reshape(dv_ref.shape)
+
+    @pl.when(j > 0)
+    def _acc():
+        dk_ref[...] += part_k.reshape(dk_ref.shape)
+        dv_ref[...] += part_v.reshape(dv_ref.shape)
+
+
+def _flash_bwd(q, k, v, do, scale, block_q, interpret=False):
+    """dQ/dK/dV for ``_fused_self_attention_flat`` inputs ``[BH, T, D]``
+    without materializing scores in HBM (the XLA vjp round-trips a
+    [BH, T, T] fp32 softmax — ~2 GB per 2048-token layer at b16, the
+    dominant cost of the training step's attention)."""
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    block_q = min(block_q, tq)
+    grid = (bh, tq // block_q)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _fused_self_attention_flat(q, k, v, scale, block_q):
     return _fused_impl(q, k, v, scale, block_q)
@@ -1042,9 +1135,11 @@ def _fwd(q, k, v, scale, block_q):
 
 def _bwd(scale, block_q, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: _xla_reference(a, b, c, scale),
-                     q, k, v)
-    return vjp(g)
+    if jax.default_backend() == "cpu":
+        _, vjp = jax.vjp(lambda a, b, c: _xla_reference(a, b, c, scale),
+                         q, k, v)
+        return vjp(g)
+    return _flash_bwd(q, k, v, g, scale, block_q)
 
 
 _fused_self_attention_flat.defvjp(_fwd, _bwd)
@@ -1175,7 +1270,8 @@ def fused_self_attention(
     heads into the batch grid instead (one transpose each way).
     """
     b, t, h, dh = q.shape
-    if t > max_seq or t % min(block_q, t) != 0:
+    if (t > max_seq or t % min(block_q, t) != 0
+            or jax.default_backend() == "cpu"):
         return _xla_bthd(q, k, v, scale)
     flat = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, dh)  # noqa
     out = _fused_self_attention_flat(flat(q), flat(k), flat(v), scale,

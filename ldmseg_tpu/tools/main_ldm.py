@@ -59,6 +59,8 @@ def main(argv=None):
             cond_channels=mk.get("cond_channels", 0),
             gradient_checkpointing=cfg["train_kwargs"].get(
                 "gradient_checkpointing", False),
+            use_fused_attention=cfg["train_kwargs"].get(
+                "fused_attention", True),
         )
 
     # video-clip training (stage-3: pose-consistent LDM) — wrap the frame

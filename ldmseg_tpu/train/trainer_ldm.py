@@ -88,6 +88,11 @@ class TrainerDiffusion:
                 dropout=tk.get("dropout", 0.0),
                 gradient_checkpointing=tk.get("gradient_checkpointing",
                                               False),
+                # Pallas VMEM-softmax self-attention for the TRAINING
+                # forward/backward too (flash-style bwd kernel — no HBM
+                # score round-trips); falls back to XLA on CPU and on
+                # unsupported shapes
+                use_fused_attention=tk.get("fused_attention", True),
             )
         self.unet_config = unet_config
         self.unet = UNet2DCondition(config=unet_config)

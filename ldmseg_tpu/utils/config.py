@@ -99,6 +99,9 @@ DEFAULT_CONFIG: dict = {
         "clip_grad": 3.0,
         "freeze_layers": ["time_embedding"],
         "gradient_checkpointing": False,
+        # Pallas attention for the training fwd/bwd (flash-style backward
+        # kernel); auto-falls-back to XLA on CPU / unsupported shapes
+        "fused_attention": True,
         # stage-3 video: train on T-frame clips (None = per-frame) with a
         # pose-warped latent temporal-consistency loss (trainer_ldm;
         # finishes the fork's "pose-VAE" plan, reference README.md:3-5)

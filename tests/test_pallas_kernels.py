@@ -883,3 +883,25 @@ def test_absorbed_padded_ln_vbf16_kernel_interpret_mode():
         assert np.isfinite(out).all()
     assert rels[True] < rels[False], rels
     assert rels[True] < 0.06, rels
+
+
+def test_flash_attention_backward_interpret():
+    """The flash-style backward kernel (dQ/dK/dV without HBM score
+    round-trips — the TPU training path) matches the XLA vjp through the
+    reference attention, including accumulation across q-blocks."""
+    from ldmseg_tpu.ops.pallas.attention import _flash_bwd
+    bh, t, d, bq = 3, 64, 8, 16
+    scale = d**-0.5
+    ks = jax.random.split(jax.random.key(0), 4)
+    q, k, v, g = (jax.random.normal(kk, (bh, t, d), jnp.float32)
+                  for kk in ks)
+    ref_out, vjp = jax.vjp(
+        lambda a, b, c: attn_reference(a, b, c, scale), q, k, v)
+    dq_r, dk_r, dv_r = vjp(g)
+    dq, dk, dv = _flash_bwd(q, k, v, g, scale, bq, interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r),
+                               rtol=1e-4, atol=1e-4)
