@@ -170,7 +170,8 @@ class CrossAttention(nn.Module):
                 x, hsplit8(kq["q"]), hsplit8(kk["q"]), hsplit8(kv["q"]),
                 ko["q"].reshape(self.heads, head_dim, inner), scales,
                 self.heads, scale,
-                act_scale=self.int8_act_scale or 0.1)
+                act_scale=kq.get("x_scale",
+                                 self.int8_act_scale or 0.1))
         elif self.int8:
             # correctness path without prequantized weights: quantize
             # in-graph (slow per-step; tests / non-scan callers)
@@ -211,6 +212,10 @@ class CrossAttention(nn.Module):
         ko, bo = _DenseParams(inner, inner, use_bias=True,
                               name="to_out")()
         xs = self.int8_act_scale or 0.1
+        if isinstance(kq, dict) and "x_scale" in kq:
+            # calibrated per-site scale (LN1-output range; one scale per
+            # layer — the kernel quantizes x once for all projections)
+            xs = kq["x_scale"]
         if isinstance(kq, dict):
             # prequantized {"q": [C,C] s8, "scale": [H]} leaves
             # (prequantize_conv_tree absorbed_attention storage)
@@ -313,10 +318,16 @@ class FeedForward(nn.Module):
             from ..ops.pallas.geglu import (
                 fused_geglu_ln_s8, _xla_geglu_ln_s8)
             if isinstance(k1, dict) and isinstance(k2, dict):
+                # per-site calibrated scales when present (apply_act_
+                # scales): proj_in x_scale = LN3-output range, proj_out
+                # x_scale = gated-interior range (static — kills the
+                # in-kernel amax pass)
                 return fused_geglu_ln_s8(
                     x, ln[0], ln[1], k1["q"], k1["scale"], b1,
                     k2["q"], k2["scale"], b2,
-                    act_scale=self.int8_act_scale or 0.05)
+                    act_scale=k1.get("x_scale",
+                                     self.int8_act_scale or 0.05),
+                    g_scale=k2.get("x_scale"))
             # raw kernels (tests / non-prequantized trees): same math
             # via the XLA fallback with in-graph weight quantization
             # (per-out-channel, the QuantDense convention)
@@ -348,7 +359,9 @@ class FeedForward(nn.Module):
                 from ..ops.pallas.geglu import fused_geglu_s8
                 y = fused_geglu_s8(
                     x, k1["q"], k1["scale"], b1, k2["q"], k2["scale"],
-                    act_scale=self.int8_act_scale or 0.05)
+                    act_scale=k1.get("x_scale",
+                                     self.int8_act_scale or 0.05),
+                    g_scale=k2.get("x_scale"))
                 return y + b2.astype(y.dtype)
             # fall through: rebuild the QuantDense math on raw kernels
             from ..ops.quant import int8_dot
@@ -365,6 +378,12 @@ class FeedForward(nn.Module):
         h = Dense(self.dim * self.mult * 2, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)
+        if not self.int8:
+            # expose the gated interior's range for int8 calibration
+            # (calibrate_act_scale_tree runs the bf16 model with
+            # capture_intermediates; a no-op when not mutable)
+            self.sow("intermediates", "geglu_inner_amax",
+                     jnp.max(jnp.abs(h.astype(jnp.float32))))
         return Dense(self.dim, name="proj_out")(h)
 
 

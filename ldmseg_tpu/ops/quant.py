@@ -300,10 +300,11 @@ class QuantDense(nn.Module):
             # pre-quantized by prequantize_conv_tree; inference-only path
             w_q, w_scale = kernel["q"], kernel["scale"]
             x_f = x.astype(jnp.float32)
-            if self.act_scale is None:
+            site = kernel.get("x_scale", self.act_scale)
+            if site is None:
                 x_scale = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-8) / 127.0
             else:
-                x_scale = jnp.float32(self.act_scale)
+                x_scale = jnp.float32(site)
             x_q = jnp.clip(jnp.round(x_f / x_scale), -127,
                            127).astype(jnp.int8)
             y = jax.lax.dot_general(
@@ -453,22 +454,47 @@ def calibrate_act_scale_tree(apply_fn, params, sample_inputs,
             for v in node:
                 walk(v, path)
         else:
+            def record(key, arr, use_percentile=True):
+                a = np.abs(np.asarray(arr, np.float32)).ravel()
+                amax = (np.percentile(a, percentile)
+                        if percentile is not None and use_percentile
+                        else a.max())
+                scales[key] = max(scales.get(key, 0.0),
+                                  float(max(amax, 1e-6) / 127.0))
+
             in_resnet = any(p.startswith(("resnet", "mid_resnet"))
+                            for p in path)
+            # transformer blocks (Transformer2D names them block<i>)
+            in_tblock = any(p.startswith("block") and p[5:].isdigit()
                             for p in path)
             norm = next((p for p in path if p in ("norm1", "norm2")), None)
             if in_resnet and norm is not None:
-                a = np.abs(np.asarray(node, np.float32)).ravel()
-                amax = (np.percentile(a, percentile)
-                        if percentile is not None else a.max())
                 # norm1 feeds conv1, norm2 feeds conv2 (models/layers.py
                 # ResnetBlock); key by the conv's module path, dropping
                 # the '__call__' capture suffix
                 mod_path = tuple(p for p in path
                                  if p not in ("__call__", norm))
                 conv = "conv1" if norm == "norm1" else "conv2"
-                key = mod_path + (conv,)
-                scales[key] = max(scales.get(key, 0.0),
-                                  float(max(amax, 1e-6) / 127.0))
+                record(mod_path + (conv,), node)
+            elif in_tblock and "norm1" in path:
+                # pre-attention LayerNorm output = the padded s8 attention
+                # kernel's input; stored on to_q (x is quantized once for
+                # all four projections)
+                mod_path = tuple(p for p in path
+                                 if p not in ("__call__", "norm1"))
+                record(mod_path + ("attn1", "to_q"), node)
+            elif in_tblock and "norm3" in path:
+                # pre-FF LayerNorm output = the fused GEGLU kernel input
+                mod_path = tuple(p for p in path
+                                 if p not in ("__call__", "norm3"))
+                record(mod_path + ("ff", "proj_in"), node)
+            elif path and path[-1] == "geglu_inner_amax":
+                # sown scalar amax of the gated interior h*gelu(gate)
+                # (FeedForward) = proj_out's input range; enables the
+                # static interior scale in the fused GEGLU kernel.
+                # Already a max — percentile does not apply.
+                record(path[:-1] + ("proj_out",), node,
+                       use_percentile=False)
 
     walk(state["intermediates"], ())
     if not scales:

@@ -218,15 +218,24 @@ def test_per_layer_calibration_beats_global_scale():
 
     scales = calibrate_act_scale_tree(u.apply, p, (x, t))
     s_glob = calibrate_act_scale(u.apply, p, (x, t))
-    assert len(scales) >= 8  # conv1+conv2 per resnet, down+mid+up
-    assert all(k[-1] in ("conv1", "conv2") for k in scales)
-    assert all(0 < v <= s_glob * (1 + 1e-6) for v in scales.values())
+    conv_scales = {k: v for k, v in scales.items()
+                   if k[-1] in ("conv1", "conv2")}
+    assert len(conv_scales) >= 8  # conv1+conv2 per resnet, down+mid+up
+    # transformer sites: attention input (LN1), FF input (LN3), FF
+    # gated interior — keyed to the consuming matmul's param path
+    assert all(k[-1] in ("conv1", "conv2", "to_q", "proj_in", "proj_out")
+               for k in scales)
+    for tail in ("to_q", "proj_in", "proj_out"):
+        assert any(k[-1] == tail for k in scales), tail
+    assert all(0 < v <= s_glob * (1 + 1e-6)
+               for v in conv_scales.values())
     # per-site scales differ across the net (a global scalar can't fit)
-    assert max(scales.values()) / min(scales.values()) > 1.1
+    assert max(conv_scales.values()) / min(conv_scales.values()) > 1.1
 
     pq = prequantize_conv_tree(p)
     pq_cal = apply_act_scales(pq, scales)
-    # every calibrated site landed on a prequantized kernel dict
+    # every calibrated CONV site landed on a prequantized kernel dict
+    # (FF/attention kernels stay bf16 without quantize_ff)
     hits = []
 
     def walk(node, path):
@@ -239,7 +248,7 @@ def test_per_layer_calibration_beats_global_scale():
                 walk(v, path + (k,))
 
     walk(pq_cal["params"], ())
-    assert len(hits) == len(scales), (len(hits), len(scales))
+    assert len(hits) == len(conv_scales), (len(hits), len(conv_scales))
 
     ui = UNet2DCondition(config=UNetConfig(**BASE, use_int8_conv=True,
                                            int8_act_scale=s_glob))
@@ -382,3 +391,58 @@ def test_trainer_int8_fused_norms_with_cross_attention(tmp_path):
         assert np.isfinite(outs[name]).all()
     corr = np.corrcoef(outs["bf16"].ravel(), outs["int8"].ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+def test_calibrated_transformer_scales_fused_norms():
+    """Per-site calibration now covers the transformer sites (attention
+    input, FF input, FF gated interior). Threaded through the fused-norms
+    int8 UNet, the calibrated tree must track bf16 at least as well as
+    the global-scalar config — with the FF interior quantized by a STATIC
+    scale (no in-kernel amax)."""
+    import functools
+    from ldmseg_tpu.ops.quant import (
+        calibrate_act_scale_tree, prequantize_conv_tree, apply_act_scales)
+
+    u = UNet2DCondition(config=UNetConfig(**BASE))
+    x = jax.random.normal(jax.random.key(1), (2, 8, 16, 8))
+    t = jnp.array([3, 7], jnp.int32)
+    p = u.init(jax.random.key(0), x, t)
+    yb = np.asarray(u.apply(p, x, t), np.float32)
+
+    scales = calibrate_act_scale_tree(u.apply, p, (x, t))
+    heads = BASE["attention_head_dim"]
+    pq = jax.jit(functools.partial(prequantize_conv_tree, quantize_ff=True,
+                                   absorbed_attention=True,
+                                   attention_heads=heads))(p)
+    pq_cal = apply_act_scales(pq, scales)
+
+    # the FF interior scale landed on proj_out kernels
+    def find(node, tail, out):
+        if isinstance(node, dict):
+            if set(node) >= {"q", "scale"}:
+                return
+            for k, v in node.items():
+                if k == tail and isinstance(v, dict) and \
+                        isinstance(v.get("kernel"), dict) and \
+                        "x_scale" in v["kernel"]:
+                    out.append(k)
+                find(v, tail, out)
+
+    hits = []
+    find(pq_cal["params"], "proj_out", hits)
+    assert hits, "no proj_out interior scale attached"
+
+    ui = UNet2DCondition(config=UNetConfig(
+        **BASE, use_padded_attention=True, use_fused_norms=True,
+        use_int8_conv=True, int8_act_scale=0.05,
+        use_int8_ff=True, use_fused_ff=True, int8_attn_act_scale=0.1))
+    y_glob = np.asarray(ui.apply(pq, x, t), np.float32)
+    y_cal = np.asarray(ui.apply(pq_cal, x, t), np.float32)
+    assert np.isfinite(y_cal).all()
+
+    def rel(a):
+        return np.abs(a - yb).mean() / (np.abs(yb).mean() + 1e-8)
+
+    assert rel(y_cal) <= rel(y_glob) * 1.05, (rel(y_cal), rel(y_glob))
+    corr = np.corrcoef(yb.ravel(), y_cal.ravel())[0, 1]
+    assert corr > 0.99, corr
