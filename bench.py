@@ -80,6 +80,23 @@ def main():
         absorbed_attention=True, attention_heads=8))(unet_params)
     img_params = jax.jit(prequantize_conv_tree)(img_params)
 
+    if os.environ.get("LDMSEG_BENCH_CALIBRATE"):
+        # per-site static act scales incl. the transformer sites (the
+        # GEGLU interior then quantizes with a STATIC scale — no
+        # in-kernel amax pass). One bf16 capture fwd at batch 2.
+        from ldmseg_tpu.ops.quant import (
+            calibrate_act_scale_tree, apply_act_scales)
+        bf = UNet2DCondition(config=UNetConfig(
+            in_channels=8, use_cross_attention=False))
+        xs = jax.random.normal(jax.random.key(5), (2, lh, lw, 8), dtype)
+        ts = jnp.array([500, 500], jnp.int32)
+        scales = calibrate_act_scale_tree(bf.apply, unet_params_bf,
+                                          (xs, ts))
+        unet_params = jax.jit(functools.partial(
+            apply_act_scales, scales=scales))(unet_params)
+        print(f"calibrated {len(scales)} act-scale sites",
+              file=__import__('sys').stderr)
+
     sched = make_ddim_schedule(
         beta_schedule="scaled_linear", beta_start=0.00085, beta_end=0.012,
         clip_sample=False, set_alpha_to_one=False)

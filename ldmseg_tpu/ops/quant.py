@@ -440,9 +440,16 @@ def calibrate_act_scale_tree(apply_fn, params, sample_inputs,
     """
     import numpy as np
 
-    _, state = apply_fn(params, *sample_inputs,
-                        capture_intermediates=True,
-                        mutable=["intermediates"])
+    import functools as _ft
+
+    import jax as _jax
+
+    # jit the capture pass: eager flax apply = one dispatch per op, which
+    # over the axon relay takes minutes for the SD-sized UNet
+    _, state = _jax.jit(_ft.partial(apply_fn,
+                                    capture_intermediates=True,
+                                    mutable=["intermediates"]))(
+        params, *sample_inputs)
 
     scales: dict = {}
 
