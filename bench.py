@@ -137,8 +137,14 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     fps = batch / dt
 
-    train_sps = _train_throughput(jax, jnp, unet, unet_params_bf, batch,
-                                  lh, lw, dtype, sched)
+    try:
+        train_sps = _train_throughput(jax, jnp, unet, unet_params_bf,
+                                      batch, lh, lw, dtype, sched)
+    except Exception as e:  # keep the headline metric if the probe dies
+        import sys
+        print(f"train probe failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        train_sps = None
 
     baseline = 8.0  # north-star frames/s/chip (BASELINE.json)
     print(json.dumps({
@@ -146,7 +152,8 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3),
-        "train_samples_per_sec_per_chip": round(train_sps, 3),
+        "train_samples_per_sec_per_chip":
+            None if train_sps is None else round(train_sps, 3),
     }))
 
 
