@@ -1046,6 +1046,29 @@ class TrainerDiffusion:
         self._rotate_checkpoints()
         return path
 
+    def export_reference(self, path: str, use_ema: bool = False):
+        """Write the current model as the REFERENCE's torch stage-2 save
+        dict ``{step, epoch, vae_image, vae_semseg, unet, ema?}``
+        (trainers_ldm_cond.py:1844-1877) so a run trained here can be
+        consumed by the torch stack — the inverse of
+        ``pretrained_ldm_path`` ingestion. Bit-exact round-trip gated by
+        tests/test_torch_export.py."""
+        from ..models.torch_export import export_reference_ldm
+        vk = self.p["vae_model_kwargs"]
+        export_reference_ldm(
+            path,
+            jax.device_get(self.state.params),
+            jax.device_get(self.frozen_params["vae_img"]),
+            jax.device_get(self.frozen_params["vae_seg"]),
+            self.unet_config,
+            block_out_channels=tuple(vk["block_out_channels"]),
+            num_upscalers=vk.get("num_upscalers", 1),
+            ema_params=(jax.device_get(self.state.ema_params)
+                        if use_ema and self.state.ema_params is not None
+                        else None),
+            step=int(self.state.step))
+        return path
+
     def _rotate_checkpoints(self, keep: int = 3):
         """Keep only the newest ``keep`` step checkpoints (tagged ones
         like best_model are never removed)."""
