@@ -405,6 +405,27 @@ class TrainerAE:
         self._rotate_checkpoints()
         return path
 
+    def export_reference(self, path: str, use_ema: bool = False):
+        """Write the current seg VAE as the REFERENCE's stage-1 torch
+        save dict ``{'vae': <GeneralVAESeg state dict>, 'step': ...}``
+        (trainers_ae.py:534-548) — consumable by the torch stack and by
+        the reference's own stage-1→2 handoff. Round-trip gated in
+        tests/test_torch_export.py."""
+        import torch
+        from ..models.torch_export import seg_vae_sd_from_params
+        vk = self.p["vae_model_kwargs"]
+        params = self.state.ema_params if (
+            use_ema and self.state.ema_params is not None) \
+            else self.state.params
+        sd = seg_vae_sd_from_params(
+            jax.device_get(params),
+            tuple(vk["block_out_channels"]),
+            num_upscalers=vk.get("num_upscalers", 1))
+        torch.save({"vae": {k: torch.from_numpy(
+            np.ascontiguousarray(v).copy()) for k, v in sd.items()},
+            "step": int(self.state.step)}, path)
+        return path
+
     def _rotate_checkpoints(self, keep: int = 3):
         """Keep only the newest ``keep`` step checkpoints (tagged ones
         like best_model are never removed)."""

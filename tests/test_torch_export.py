@@ -141,3 +141,27 @@ def test_trainer_export_reference(tmp_path):
     _trees_equal(back["unet"], jax.device_get(tr.state.params))
     _trees_equal(back["vae_semseg"],
                  jax.device_get(tr.frozen_params["vae_seg"]))
+
+
+def test_trainer_ae_export_reference(tmp_path):
+    """TrainerAE.export_reference writes the stage-1 {'vae': ...} dict
+    the reference's own load path (and our stage-1 importer) consumes."""
+    pytest.importorskip("torch")
+    from ldmseg_tpu.data import SyntheticDVPS, Loader
+    from ldmseg_tpu.train.trainer_ae import TrainerAE
+    from ldmseg_tpu.models.torch_import import load_reference_seg_vae
+    from ldmseg_tpu.utils.config import DEFAULT_CONFIG, merge_dicts
+
+    cfg = merge_dicts(DEFAULT_CONFIG, {
+        "vae_model_kwargs": {
+            "in_channels": 10, "int_channels": 32, "out_channels": 32,
+            "block_out_channels": list(SEG_BOC), "num_upscalers": 2,
+            "upscale_channels": 32, "norm_num_groups": 8},
+        "train_kwargs": {"batch_size": 4, "train_num_steps": 1},
+        "ignore_label": 0})
+    ds = SyntheticDVPS(length=4, size=(64, 128), num_classes=20)
+    tr = TrainerAE(cfg, dataset=ds, results_folder=str(tmp_path))
+    tr.init_state(next(iter(Loader(ds, 4, shuffle=False))))
+    path = tr.export_reference(str(tmp_path / "ae.pt"))
+    back = load_reference_seg_vae(path, SEG_BOC, num_upscalers=2)
+    _trees_equal(back, jax.device_get(tr.state.params))
