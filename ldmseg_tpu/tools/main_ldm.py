@@ -18,6 +18,35 @@ import sys
 from .main_ae import DATASET_PRESETS, build_datasets
 
 
+def build_unet_config(cfg):
+    """UNetConfig from the run config's ``model_kwargs`` size overrides
+    (the reference pins SD-1.4; these allow scratch-scale / smoke runs);
+    None -> the trainer builds the SD-1.4-sized default. Shared with
+    ``tools/export_checkpoint.py`` so an exported run rebuilds the exact
+    same tree."""
+    from ldmseg_tpu.models import UNetConfig
+    mk = cfg["model_kwargs"]
+    if "block_out_channels" not in mk:
+        return None
+    return UNetConfig(
+        in_channels=mk.get("in_channels", 8) + mk.get("cond_channels", 0),
+        out_channels=4,
+        block_out_channels=tuple(mk["block_out_channels"]),
+        layers_per_block=mk.get("layers_per_block", 2),
+        cross_attention_dim=mk.get("cross_attention_dim", 768),
+        attention_head_dim=mk.get("attention_head_dim", 8),
+        norm_num_groups=mk.get("norm_num_groups", 32),
+        use_cross_attention=(
+            cfg["train_kwargs"].get("image_descriptors",
+                                    "remove") != "remove"),
+        cond_channels=mk.get("cond_channels", 0),
+        gradient_checkpointing=cfg["train_kwargs"].get(
+            "gradient_checkpointing", False),
+        use_fused_attention=cfg["train_kwargs"].get(
+            "fused_attention", True),
+    )
+
+
 def main(argv=None):
     from ldmseg_tpu.utils.config import (
         load_config, parse_dot_overrides, prepare_config, merge_dicts)
@@ -39,29 +68,7 @@ def main(argv=None):
     print(f"Run dir: {cfg['output_dir']}")
 
     train_ds, val_ds = build_datasets(cfg, prefix)
-
-    # optional UNet-size overrides (the reference pins SD-1.4; these allow
-    # scratch-scale / smoke runs): model_kwargs.block_out_channels etc.
-    unet_config = None
-    mk = cfg["model_kwargs"]
-    if "block_out_channels" in mk:
-        unet_config = UNetConfig(
-            in_channels=mk.get("in_channels", 8) + mk.get("cond_channels", 0),
-            out_channels=4,
-            block_out_channels=tuple(mk["block_out_channels"]),
-            layers_per_block=mk.get("layers_per_block", 2),
-            cross_attention_dim=mk.get("cross_attention_dim", 768),
-            attention_head_dim=mk.get("attention_head_dim", 8),
-            norm_num_groups=mk.get("norm_num_groups", 32),
-            use_cross_attention=(
-                cfg["train_kwargs"].get("image_descriptors",
-                                        "remove") != "remove"),
-            cond_channels=mk.get("cond_channels", 0),
-            gradient_checkpointing=cfg["train_kwargs"].get(
-                "gradient_checkpointing", False),
-            use_fused_attention=cfg["train_kwargs"].get(
-                "fused_attention", True),
-        )
+    unet_config = build_unet_config(cfg)
 
     # video-clip training (stage-3: pose-consistent LDM) — wrap the frame
     # dataset into fixed-T clips; frames ride the batch axis in the

@@ -259,4 +259,9 @@ def prepare_config(cfg: dict, output_dir: str, run_idx: int = -1) -> dict:
     cfg["log_dir"] = os.path.join(root, "logs")
     for d in (root, cfg["checkpoint_dir"], cfg["log_dir"]):
         os.makedirs(d, exist_ok=True)
+    # persist the composed config (hydra runs save theirs too); lets
+    # tools like export_checkpoint rebuild the trainer from a run dir
+    import json
+    with open(os.path.join(root, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1, default=str)
     return cfg

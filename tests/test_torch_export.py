@@ -165,3 +165,46 @@ def test_trainer_ae_export_reference(tmp_path):
     path = tr.export_reference(str(tmp_path / "ae.pt"))
     back = load_reference_seg_vae(path, SEG_BOC, num_upscalers=2)
     _trees_equal(back, jax.device_get(tr.state.params))
+
+
+def test_export_checkpoint_cli(tmp_path):
+    """End-to-end: prepare_config run dir -> orbax save -> CLI rebuilds
+    the trainer from config.json, restores, and writes the reference
+    torch dict."""
+    pytest.importorskip("torch")
+    from ldmseg_tpu.data import SyntheticDVPS, Loader
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+    from ldmseg_tpu.models.torch_import import load_reference_ldm
+    from ldmseg_tpu.tools.export_checkpoint import main as export_main
+    from ldmseg_tpu.utils.config import (
+        DEFAULT_CONFIG, merge_dicts, prepare_config)
+
+    cfg = merge_dicts(DEFAULT_CONFIG, {
+        "vae_model_kwargs": {
+            "in_channels": 10, "int_channels": 32, "out_channels": 32,
+            "block_out_channels": list(SEG_BOC), "num_upscalers": 2,
+            "upscale_channels": 32, "norm_num_groups": 8},
+        "model_kwargs": {
+            "in_channels": 8, "block_out_channels": [8, 16, 16, 32],
+            "layers_per_block": 1, "cross_attention_dim": 16,
+            "attention_head_dim": 2, "norm_num_groups": 4},
+        "train_kwargs": {"batch_size": 2, "train_num_steps": 1},
+        "ignore_label": 0})
+    cfg = prepare_config(cfg, str(tmp_path), run_idx=7)
+    run_dir = cfg["output_dir"]
+
+    ds = SyntheticDVPS(length=2, size=(64, 128), num_classes=20)
+    from ldmseg_tpu.tools.main_ldm import build_unet_config
+    tr = TrainerDiffusion(cfg, unet_config=build_unet_config(cfg),
+                          dataset=ds,
+                          results_folder=cfg["checkpoint_dir"])
+    tr.init_state(next(iter(Loader(ds, 2, shuffle=False))))
+    tr.save(step=5)
+    src = jax.device_get(tr.state.params)
+
+    out = str(tmp_path / "exported.pt")
+    export_main(["--run_dir", run_dir, "--out", out])
+    back = load_reference_ldm(out, tr.unet_config,
+                              block_out_channels=SEG_BOC,
+                              num_upscalers=2)
+    _trees_equal(back["unet"], src)
