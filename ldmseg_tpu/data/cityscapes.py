@@ -41,6 +41,7 @@ class CityscapesDVPS:
         crop_mode: str | None = None,
         keep_fullres_gt: bool = False,
         seed: int = 0,
+        normalize_params: dict | None = None,
     ):
         assert split in ("train", "val", "test")
         # train-time augmentation (reference get_train_transforms)
@@ -61,6 +62,8 @@ class CityscapesDVPS:
         self.min_pixels = min_pixels if split == "train" else 0
         self.seed = seed
         self.inpainting_strength = inpainting_strength
+        np_ = normalize_params or {}
+        self.norm_mean, self.norm_std = np_.get("mean"), np_.get("std")
         self.maskgen = MaskingGenerator(input_size=inpaint_mask_size,
                                         mode="random_local")
         from .base import get_metadata
@@ -109,7 +112,8 @@ class CityscapesDVPS:
         from .transforms import square_crop_box
         box = square_crop_box(rgb_img.size, self.crop_mode, rng)
 
-        image = normalize_imagenet(resize_rgb(rgb_img, self.size, box=box))
+        image = normalize_imagenet(resize_rgb(rgb_img, self.size, box=box),
+                                   self.norm_mean, self.norm_std)
         pan_raw = resize_label(Image.open(paths["instanceTrainIds"]),
                                self.size, dtype=np.int32, box=box)
         depth = resize_depth(Image.open(paths["depth"]), self.size, box=box)

@@ -53,9 +53,12 @@ class CocoPanoptic:
         flip: bool = False,
         crop_mode: Optional[str] = None,
         seed: int = 0,
+        normalize_params: Optional[dict] = None,
     ):
         # train-time augmentation (reference get_train_transforms)
         self.flip = flip and split == "train"
+        np_ = normalize_params or {}
+        self.norm_mean, self.norm_std = np_.get("mean"), np_.get("std")
         self.crop_mode = crop_mode if split == "train" else None
         self.root = prefix
         self.split = split
@@ -135,7 +138,8 @@ class CocoPanoptic:
         img_name = ann["file_name"].replace(".png", ".jpg")
         img_path = os.path.join(self.image_dir, img_name)
         image = normalize_imagenet(resize_rgb(Image.open(img_path),
-                                              self.size, box=box))
+                                              self.size, box=box),
+                                   self.norm_mean, self.norm_std)
 
         bits = encode_bits_host(semseg, self.num_bits,
                                  ignore_label=self.ignore_label,

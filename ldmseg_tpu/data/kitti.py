@@ -71,6 +71,7 @@ class KittiDVPS:
         crop_mode: Optional[str] = None,  # None | 'centre' | 'random'
         keep_fullres_gt: bool = False,
         seed: int = 0,
+        normalize_params: Optional[dict] = None,
     ):
         # keep_fullres_gt: carry original-resolution remapped GT in meta
         # so eval can restore each prediction to its own im_size
@@ -98,6 +99,11 @@ class KittiDVPS:
         self.with_color_target = with_color_target
         self.seed = seed
         self.inpainting_strength = inpainting_strength
+        # RGB normalize stats (transformation_kwargs.normalize_params;
+        # reference dataset_base.py:19-42 / kitti.py:123-125)
+        np_ = normalize_params or {}
+        self.norm_mean = np_.get("mean")
+        self.norm_std = np_.get("std")
         self.maskgen = MaskingGenerator(input_size=inpaint_mask_size,
                                         mode="random_local")
         from .base import get_metadata
@@ -161,7 +167,7 @@ class KittiDVPS:
         box = square_crop_box(rgb_img.size, self.crop_mode, rng)
 
         image = resize_rgb(rgb_img, self.size, box=box)
-        image = normalize_imagenet(image)
+        image = normalize_imagenet(image, self.norm_mean, self.norm_std)
 
         sem_raw = resize_label(Image.open(paths["class"]), self.size,
                                box=box)

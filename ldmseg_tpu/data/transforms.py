@@ -49,12 +49,19 @@ def resize_rgb(img: Image.Image, size_hw: tuple, box=None) -> np.ndarray:
     return np.asarray(img, dtype=np.float32) / 255.0
 
 
-def normalize_imagenet(x: np.ndarray) -> np.ndarray:
-    return (x - IMAGENET_MEAN) / IMAGENET_STD
+def normalize_imagenet(x: np.ndarray, mean=None, std=None) -> np.ndarray:
+    """Channel normalize; defaults to the ImageNet stats the reference
+    hardcodes (kitti.py:123-125) == transformation_kwargs.normalize_params
+    (base.yaml)."""
+    mean = IMAGENET_MEAN if mean is None else np.asarray(mean, np.float32)
+    std = IMAGENET_STD if std is None else np.asarray(std, np.float32)
+    return (x - mean) / std
 
 
-def denormalize_imagenet(x: np.ndarray) -> np.ndarray:
-    return x * IMAGENET_STD + IMAGENET_MEAN
+def denormalize_imagenet(x: np.ndarray, mean=None, std=None) -> np.ndarray:
+    mean = IMAGENET_MEAN if mean is None else np.asarray(mean, np.float32)
+    std = IMAGENET_STD if std is None else np.asarray(std, np.float32)
+    return x * std + mean
 
 
 def resize_label(img: Image.Image, size_hw: tuple,

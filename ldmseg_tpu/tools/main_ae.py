@@ -46,6 +46,13 @@ def build_datasets(cfg: dict, prefix: str | None):
         val = get_dataset("synthetic", length=16, num_classes=20, **kwargs)
     else:
         kwargs["num_classes"] = cfg["num_classes"]
+        # RGB normalize stats (reference dataset_base.py:19-42:
+        # T.Normalize(**normalize_params) when normalize, else identity)
+        tk = cfg["transformation_kwargs"]
+        kwargs["normalize_params"] = (
+            tk.get("normalize_params")
+            if tk.get("normalize", True)
+            else {"mean": [0.0, 0.0, 0.0], "std": [1.0, 1.0, 1.0]})
         # train-time augmentation (reference get_train_transforms:
         # hflip p=0.5 when transformation_kwargs.flip)
         train = get_dataset(name, prefix=prefix, split="train",

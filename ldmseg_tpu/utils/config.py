@@ -96,6 +96,16 @@ DEFAULT_CONFIG: dict = {
         "ohem_ratio": 1.0,
         "fp16": False,
         "weight_dtype": "float32",
+        # CUDA/DDP-only reference knobs, accepted as no-ops so reference
+        # YAMLs load unchanged (base.yaml train_kwargs): cudnn/allow_tf32
+        # -> XLA controls matmul precision; use_xformers -> Pallas fused
+        # attention (fused_attention below); gradient_as_bucket_view /
+        # find_unused_parameters -> DDP-isms with no SPMD equivalent
+        "cudnn": False,
+        "use_xformers": False,
+        "gradient_as_bucket_view": False,
+        "allow_tf32": False,
+        "find_unused_parameters": False,
         "clip_grad": 3.0,
         "freeze_layers": ["time_embedding"],
         "gradient_checkpointing": False,
@@ -172,7 +182,9 @@ DEFAULT_CONFIG: dict = {
     "optimizer_backbone_multiplier": 1.0,
     "optimizer_save_optim": False,
     "ema_on": False,
-    "ema_kwargs": {"decay": 0.9999},
+    # 'device' accepted as a no-op (reference offloads EMA to cuda/cpu;
+    # on-device EMA here — PARITY.md EMA row)
+    "ema_kwargs": {"decay": 0.9999, "device": "tpu"},
     "lr_scheduler_name": "warmup",
     "lr_scheduler_kwargs": {"final_lr": 0.000001, "warmup_iters": 200},
     "transformation_kwargs": {
@@ -184,6 +196,18 @@ DEFAULT_CONFIG: dict = {
         "max_size": 640,
         "flip": True,
         "normalize": True,
+        # mean/std for the RGB normalize (reference dataset_base.py:19-42
+        # T.Normalize(**normalize_params); same values kitti.py:123-125
+        # hardcodes)
+        "normalize_params": {"mean": [0.485, 0.456, 0.406],
+                             "std": [0.229, 0.224, 0.225]},
+        # accepted for reference-config compat; dead in the reference too
+        # (base.yaml declares them but no transform consumes them —
+        # dataset_base.py only reads type/size*/flip/normalize*)
+        "scales": [352, 384, 416, 448, 480, 512, 544, 576, 608, 640],
+        "min_scale": 0.5,
+        "max_scale": 1.5,
+        "pad_value": 0,
     },
     "train_db_name": "kitti",
     "val_db_name": "kitti",
