@@ -1,4 +1,5 @@
 from .tp import tp_param_sharding, apply_tp
+from .sp import spatial_constraint, batch_constraint, has_spatial_axis
 from .mesh import (
     make_mesh,
     shard_batch,
@@ -15,4 +16,7 @@ __all__ = [
     "param_sharding",
     "tp_param_sharding",
     "apply_tp",
+    "spatial_constraint",
+    "batch_constraint",
+    "has_spatial_axis",
 ]

@@ -163,6 +163,12 @@ class TrainerDiffusion:
             self.unet_infer = self.unet
 
         self.mesh = mesh if mesh is not None else make_mesh()
+        # spatial parallelism: H-shard the full-res VAE stages over the
+        # model axis (parallel/sp.py; GSPMD inserts conv halos/GN
+        # reductions). No reference equivalent — TPU-native extension.
+        from ..parallel.sp import has_spatial_axis
+        self.spatial_parallel = (bool(p.get("spatial_parallel", False))
+                                 and has_spatial_axis(self.mesh))
         self.ds = dataset
         self.ds_val = val_dataset
         self.results_folder = results_folder or p.get("checkpoint_dir",
@@ -317,6 +323,9 @@ class TrainerDiffusion:
     def _encode_impl(self, frozen, batch, key):
         k_seg, k_rgb = jax.random.split(key)
         bits = 2.0 * batch["image_semseg"].astype(jnp.float32) - 1.0
+        if self.spatial_parallel:
+            from ..parallel.sp import spatial_constraint
+            bits = spatial_constraint(bits, self.mesh)
         post_seg = self.vae_seg.apply(frozen["vae_seg"], bits,
                                       method=SegVAE.encode)
         if self.sample_posterior:
@@ -329,6 +338,9 @@ class TrainerDiffusion:
         # main_ldm.py:165-169 -> bf16 here)
         rgb = 2.0 * _unnormalize_to01(
             batch["image"]).astype(self.compute_dtype) - 1.0
+        if self.spatial_parallel:
+            from ..parallel.sp import spatial_constraint
+            rgb = spatial_constraint(rgb, self.mesh)
         post_rgb = self.vae_img.apply(frozen["vae_img"], rgb,
                                       method=ImageVAE.encode)
         if self.sample_posterior_rgb:
@@ -338,6 +350,13 @@ class TrainerDiffusion:
         rgb_latents = rgb_latents.astype(jnp.float32) * self.img_scale
 
         loss_mask = self._loss_weight_mask(batch, latents.shape[1:3])
+        if self.spatial_parallel:
+            # latent space back to the batch-only layout so the UNet's
+            # own (data, model) shardings (TP, ZeRO-1) are unaffected
+            from ..parallel.sp import batch_constraint
+            latents = batch_constraint(latents, self.mesh)
+            latents_mean = batch_constraint(latents_mean, self.mesh)
+            rgb_latents = batch_constraint(rgb_latents, self.mesh)
         return latents, latents_mean, rgb_latents, loss_mask
 
     def _loss_weight_mask(self, batch, latent_hw):
@@ -747,6 +766,11 @@ class TrainerDiffusion:
         z = x0 * (1.0 / self.seg_scale)
         logits = self.vae_seg.apply(frozen["vae_seg"], z, True,
                                     method=SegVAE.decode)
+        if self.spatial_parallel:
+            # H-shard the full-res decode output; GSPMD propagates the
+            # spec back through the decoder (conv halos inserted)
+            from ..parallel.sp import spatial_constraint
+            logits = spatial_constraint(logits, self.mesh)
         return logits.astype(jnp.float32), x0
 
     def sample_panoptic(self, batch: dict, key: jax.Array,

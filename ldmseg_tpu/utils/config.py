@@ -179,6 +179,11 @@ DEFAULT_CONFIG: dict = {
         "weight_decay_norm": 0.0,
     },
     "optimizer_zero_redundancy": False,
+    # TPU-native extensions (no reference equivalent): shard UNet params
+    # col/row-parallel over the model axis; H-shard the full-res VAE
+    # stages over the model axis (parallel/tp.py, parallel/sp.py)
+    "tensor_parallel": False,
+    "spatial_parallel": False,
     "optimizer_backbone_multiplier": 1.0,
     "optimizer_save_optim": False,
     "ema_on": False,
