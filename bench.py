@@ -222,18 +222,26 @@ def _main_with_retry():
         # and a failed init inside this process would poison the backend
         # cache for the real run
         import subprocess
-        for probe in range(10):
+        up = False
+        for probe in range(20):
             try:
                 r = subprocess.run(
                     [sys.executable, "-c", "import jax; jax.devices()"],
                     timeout=180, capture_output=True)
                 if r.returncode == 0:
+                    up = True
                     break
             except subprocess.TimeoutExpired:
                 pass
             print(f"bench: TPU backend probe {probe + 1} failed; "
-                  f"waiting 60 s", file=sys.stderr)
-            time.sleep(60)
+                  f"waiting 120 s", file=sys.stderr)
+            time.sleep(120)
+        if not up:
+            # do NOT call main() with the tunnel down: in-process
+            # jax.devices() HANGS (no timeout) instead of raising, which
+            # would hang the whole bench run. Raise into the bounded
+            # re-exec retry below.
+            raise RuntimeError("TPU backend unreachable after 20 probes")
         main()
     except Exception as e:  # noqa: BLE001 - anything device-side
         if attempt >= 4:
