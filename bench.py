@@ -96,6 +96,12 @@ def main():
             apply_act_scales, scales=scales))(unet_params)
         print(f"calibrated {len(scales)} act-scale sites",
               file=__import__('sys').stderr)
+        # the capture pass's cached executable + intermediate buffers
+        # fragment HBM enough to OOM the later train probe; drop them
+        # before the big pipeline allocates (observed on-chip, r3)
+        import gc
+        jax.clear_caches()
+        gc.collect()
 
     sched = make_ddim_schedule(
         beta_schedule="scaled_linear", beta_start=0.00085, beta_end=0.012,
@@ -167,9 +173,13 @@ def _train_throughput(jax, jnp, unet, unet_params, batch, lh, lw, dtype,
     from ldmseg_tpu.models import UNet2DCondition, UNetConfig
     from ldmseg_tpu.diffusion import add_noise
 
+    # no remat: with the flash-style attention backward (no [BH,T,T]
+    # HBM score tensors) the full activation set fits at b16, and
+    # recompute-free backward is +26% (86.9 vs 68.8 samples/s measured
+    # on-chip; remat_sweep.py)
     cfg_t = UNetConfig(in_channels=8, use_cross_attention=False,
                        use_fused_attention=True,
-                       gradient_checkpointing=True)
+                       gradient_checkpointing=False)
     unet_t = UNet2DCondition(config=cfg_t)
     tx = optax.adafactor(1e-4)
     opt_state = jax.jit(tx.init)(unet_params)

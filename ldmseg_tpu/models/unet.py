@@ -90,6 +90,11 @@ class UNetConfig:
     int8_attn_act_scale: Optional[float] = None
     int8_fuse_gn: bool = False  # fused GN+quant pass (inference only)
     gradient_checkpointing: bool = False  # remat down/mid/up blocks
+    # jax.checkpoint_policies name for the remat sites (e.g.
+    # 'dots_with_no_batch_dims_saveable' keeps weight-matmul outputs and
+    # only recomputes elementwise/norm work in the backward pass). None =
+    # save nothing (diffusers-equivalent full recompute).
+    remat_policy: Optional[str] = None
 
 
 class _DenseParams(nn.Module):
@@ -850,7 +855,11 @@ class UNet2DCondition(nn.Module):
         # 3b. down blocks (:359-373); optional remat trades FLOPs for
         # activation memory (diffusers enable_gradient_checkpointing
         # equivalent, main_ldm.py:150-152)
-        DB = nn.remat(DownBlock, static_argnums=()) \
+        remat_kw = {}
+        if cfg.remat_policy:
+            remat_kw["policy"] = getattr(jax.checkpoint_policies,
+                                         cfg.remat_policy)
+        DB = nn.remat(DownBlock, static_argnums=(), **remat_kw) \
             if cfg.gradient_checkpointing else DownBlock
         res_stack = [x]
         for i, cout in enumerate(cfg.block_out_channels):
@@ -903,7 +912,8 @@ class UNet2DCondition(nn.Module):
         # 6. up blocks (:400-425)
         rev = list(reversed(cfg.block_out_channels))
         attn_up = tuple(reversed(cfg.attn_down))
-        UB = nn.remat(UpBlock) if cfg.gradient_checkpointing else UpBlock
+        UB = nn.remat(UpBlock, **remat_kw) \
+            if cfg.gradient_checkpointing else UpBlock
         for i, cout in enumerate(rev):
             n_res = cfg.layers_per_block + 1
             res_samples = res_stack[-n_res:]

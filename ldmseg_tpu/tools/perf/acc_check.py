@@ -43,7 +43,8 @@ def sample_with(unet, params):
 x_bf = sample_with(unet_bf, p)
 
 which = sys.argv[1] if len(sys.argv) > 1 else "C"
-if which == "C":
+if which in ("C", "D"):
+    # D = C + per-site calibrated act scales (calibrate_act_scale_tree)
     cfg_i8 = UNetConfig(**base, use_padded_attention=True,
                         use_int8_conv=True, int8_act_scale=0.05,
                         use_int8_ff=True, use_fused_ff=True,
@@ -66,6 +67,15 @@ else:  # A: current bench config
 pq = jax.jit(functools.partial(prequantize_conv_tree, quantize_ff=True,
                                absorbed_attention=absorbed,
                                attention_heads=8))(p)
+if which == "D":
+    from ldmseg_tpu.ops.quant import (calibrate_act_scale_tree,
+                                      apply_act_scales)
+    xs = jnp.concatenate([init[:2].astype(dtype), rgb_latents[:2]],
+                         axis=-1)
+    ts = jnp.array([500, 500], jnp.int32)
+    scales = calibrate_act_scale_tree(unet_bf.apply, p, (xs, ts))
+    pq = jax.jit(functools.partial(apply_act_scales, scales=scales))(pq)
+    print(f"calibrated {len(scales)} sites")
 x_i8 = sample_with(UNet2DCondition(config=cfg_i8), pq)
 corr = np.corrcoef(x_bf.ravel(), x_i8.ravel())[0, 1]
 rel = np.abs(x_bf - x_i8).mean() / np.abs(x_bf).mean()

@@ -88,6 +88,7 @@ class TrainerDiffusion:
                 dropout=tk.get("dropout", 0.0),
                 gradient_checkpointing=tk.get("gradient_checkpointing",
                                               False),
+                remat_policy=tk.get("remat_policy"),
                 # Pallas VMEM-softmax self-attention for the TRAINING
                 # forward/backward too (flash-style bwd kernel — no HBM
                 # score round-trips); falls back to XLA on CPU and on

@@ -109,6 +109,11 @@ DEFAULT_CONFIG: dict = {
         "clip_grad": 3.0,
         "freeze_layers": ["time_embedding"],
         "gradient_checkpointing": False,
+        # jax.checkpoint_policies name applied at the UNet remat sites
+        # when gradient_checkpointing is on (None = recompute everything,
+        # the diffusers-equivalent default); e.g.
+        # 'dots_with_no_batch_dims_saveable' keeps weight-matmul outputs
+        "remat_policy": None,
         # Pallas attention for the training fwd/bwd (flash-style backward
         # kernel); auto-falls-back to XLA on CPU / unsupported shapes
         "fused_attention": True,
