@@ -1044,31 +1044,41 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
 
     dK/dV blocks map every q-step to the same (i, 0, 0) slot; TPU grid
     iteration is sequential with the q axis innermost, so the revisited
-    block accumulates in fp32 across q-blocks (initialized at j == 0)."""
+    block accumulates in fp32 across q-blocks (initialized at j == 0).
+
+    All five matmuls keep their OPERANDS in the input dtype (bf16 when
+    training) with fp32 accumulation — fp32-operand MXU matmuls run at
+    ~1/8 the bf16 rate on v5e, and the first version of this kernel
+    upcast everything before the dots (4.6 ms/layer at the T=2048 hot
+    shape vs 2.0 for the forward). Softmax and the dS algebra stay
+    fp32; P/dS are rounded to the input dtype only as matmul operands,
+    matching the XLA vjp's own bf16 einsum operands."""
     j = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)       # [BQ, D]
-    k = k_ref[0].astype(jnp.float32)       # [T, D]
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)     # [BQ, D]
+    q = q_ref[0]                           # [BQ, D]
+    k = k_ref[0]                           # [T, D]
+    v = v_ref[0]
+    do = do_ref[0]                         # [BQ, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale        # [BQ, T]
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)             # [BQ, T]
+    p = e / jnp.sum(e, axis=-1, keepdims=True)             # [BQ, T] fp32
+    pb = p.astype(q.dtype)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                # [BQ, T]
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dsb = ds.astype(q.dtype)
     dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
+        dsb, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale        # [BQ, D]
     dq_ref[...] = dq.reshape(dq_ref.shape).astype(dq_ref.dtype)
     part_k = (jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+        dsb, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale)       # [T, D]
     part_v = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
+        pb, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                # [T, D]
 
     @pl.when(j == 0)

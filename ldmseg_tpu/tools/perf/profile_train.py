@@ -20,7 +20,9 @@ from ldmseg_tpu.diffusion import make_ddim_schedule, add_noise  # noqa: E402
 batch, lh, lw = 16, 32, 64
 dtype = jnp.bfloat16
 cfg = UNetConfig(in_channels=8, use_cross_attention=False,
-                 use_fused_attention=True, gradient_checkpointing=True)
+                 use_fused_attention=True,
+                 gradient_checkpointing=os.environ.get(
+                     "PROFILE_TRAIN_REMAT", "0") == "1")
 unet = UNet2DCondition(config=cfg)
 p = jax.jit(unet.init)(jax.random.key(0), jnp.zeros((1, lh, lw, 8), dtype),
                        jnp.zeros((1,), jnp.int32))

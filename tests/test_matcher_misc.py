@@ -156,3 +156,16 @@ def test_remat_unet_matches_no_remat():
         # remat reassociates float ops; grads agree to ~1e-3
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
                                    atol=1e-3)
+    # remat_policy (named jax.checkpoint_policies entry) keeps the same
+    # numerics while saving the dot outputs instead of recomputing them
+    m2 = UNet2DCondition(config=UNetConfig(
+        **base, gradient_checkpointing=True,
+        remat_policy="dots_with_no_batch_dims_saveable"))
+    out2 = m2.apply(p, x, t)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out2),
+                               rtol=1e-4, atol=1e-5)
+    g2 = jax.grad(lambda pp: m2.apply(pp, x, t).sum())(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2,
+                                   atol=1e-3)

@@ -905,3 +905,14 @@ def test_flash_attention_backward_interpret():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r),
                                rtol=1e-4, atol=1e-4)
+    # bf16 inputs: matmul operands stay bf16 (the fast MXU path — P/dS
+    # rounded to bf16 only as operands, softmax/dS algebra fp32); grads
+    # agree with the fp32 reference to bf16 resolution
+    b16 = lambda x: x.astype(jnp.bfloat16)  # noqa: E731
+    dq2, dk2, dv2 = _flash_bwd(b16(q), b16(k), b16(v), b16(g), scale, bq,
+                               interpret=True)
+    for got, ref in ((dq2, dq_r), (dk2, dk_r), (dv2, dv_r)):
+        got = np.asarray(got, np.float32)
+        ref = np.asarray(ref, np.float32)
+        rel = np.abs(got - ref).mean() / np.abs(ref).mean()
+        assert rel < 0.02, rel
