@@ -79,16 +79,36 @@ for i in range(2):
 np.asarray(loss)
 jax.profiler.stop_trace()
 
+import re  # noqa: E402
+
 ev = {}
+cat = {}
 for f in glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True):
     with gzip.open(f, "rt") as fh:
         data = json.load(fh)
+    # device-op track only: XLA op events carry run/hlo metadata in args
     for e in data.get("traceEvents", []):
         if e.get("ph") != "X":
             continue
-        ev.setdefault(e.get("name", ""), [0, 0])
-        ev[e["name"]][0] += e.get("dur", 0)
-        ev[e["name"]][1] += 1
-top = sorted(ev.items(), key=lambda kv: -kv[1][0])[:45]
-for name, (dur, cnt) in top:
+        name = e.get("name", "")
+        args = e.get("args") or {}
+        if not ("hlo_category" in args or "long_name" in args
+                or re.fullmatch(r"[\w.\-]+\.\d+", name)):
+            continue
+        if name.startswith("jit_") or "/" in name or "$" in name:
+            continue
+        dur = e.get("dur", 0)
+        ev.setdefault(name, [0, 0])
+        ev[name][0] += dur
+        ev[name][1] += 1
+        group = args.get("hlo_category") or re.sub(r"\.\d+$", "", name)
+        cat.setdefault(group, [0, 0])
+        cat[group][0] += dur
+        cat[group][1] += 1
+
+print("== by category ==")
+for name, (dur, cnt) in sorted(cat.items(), key=lambda kv: -kv[1][0])[:15]:
+    print(f"{dur/1e3/2:8.3f} ms/step x{cnt:4d}  {name[:90]}")
+print("== top ops ==")
+for name, (dur, cnt) in sorted(ev.items(), key=lambda kv: -kv[1][0])[:25]:
     print(f"{dur/1e3/2:8.3f} ms/step x{cnt:4d}  {name[:110]}")
