@@ -810,11 +810,13 @@ class TrainerDiffusion:
         return logits, x0
 
     def _sample_clip_impl(self, unet_params, frozen, batch, key,
+                          context=None, uncond_context=None,
                           num_inference_steps: int = 50,
                           repeat_noise: bool = True,
                           pose_warp: bool = True,
                           refine_strength: float = 0.3,
-                          warp_blend: float = 0.5):
+                          warp_blend: float = 0.5,
+                          guidance_scale: float = 1.0):
         """Device-side clip sampling: per-frame DDIM (optionally with
         clip-shared init noise), then — when a pose net is attached and
         ``pose_warp`` — warp the middle frame's x0 latent into every other
@@ -839,7 +841,19 @@ class TrainerDiffusion:
 
         def model_fn(latents, condition, t):
             return self._unet_apply(unet_params, latents, rgb_latents,
-                                    condition, t, None, infer=True)
+                                    condition, t, context, infer=True)
+
+        if uncond_context is not None and guidance_scale != 1.0:
+            # classifier-free guidance, per flattened frame (same CFG
+            # wrapper as _sample_decode_impl; also applied by ddim_refine)
+            from ..diffusion.sampler import cfg_model_fn
+
+            def uncond_fn(latents, condition, t):
+                return self._unet_apply(unet_params, latents, rgb_latents,
+                                        condition, t, uncond_context,
+                                        infer=True)
+
+            model_fn = cfg_model_fn(model_fn, uncond_fn, guidance_scale)
 
         k_init, k_refine = jax.random.split(key)
         init = jax.random.normal(k_init, (bc, 1 if repeat_noise else tt,
@@ -886,16 +900,41 @@ class TrainerDiffusion:
                              repeat_noise: bool = True,
                              pose_warp: bool = True,
                              refine_strength: float = 0.3,
-                             warp_blend: float = 0.5):
+                             warp_blend: float = 0.5,
+                             guidance_scale: Optional[float] = None):
         """Clip batch ``[B, T, ...]`` -> per-frame logits/x0 (flattened to
         ``[B*T, ...]``), with pose-warped frame-consistent sampling when a
-        pose net is attached (see ``_sample_clip_impl``)."""
+        pose net is attached (see ``_sample_clip_impl``). Descriptor
+        conditioning + CFG apply per flattened frame, exactly as in
+        :meth:`sample_panoptic`."""
         if not hasattr(self, "_sample_clip"):
             self._sample_clip = jax.jit(
                 self._sample_clip_impl,
                 static_argnames=("num_inference_steps", "repeat_noise",
                                  "pose_warp", "refine_strength",
-                                 "warp_blend"))
+                                 "warp_blend", "guidance_scale"))
+        # descriptor context over the flattened frames ([B, T] -> [B*T]:
+        # clip i's frames are contiguous, so per-clip text repeats T times)
+        imgs = np.asarray(batch["image"])
+        bc_, tt_ = imgs.shape[:2]
+        flat_batch = {"image": imgs.reshape((-1,) + imgs.shape[2:])}
+        if "text" in batch:
+            flat_batch["text"] = [s for s in batch["text"]
+                                  for _ in range(tt_)]
+        if "text_tokens" in batch:
+            toks = np.asarray(batch["text_tokens"])
+            flat_batch["text_tokens"] = np.repeat(toks, tt_, axis=0) \
+                if toks.shape[0] == bc_ else toks
+        if "context" in batch:
+            ctx = np.asarray(batch["context"])
+            flat_batch["context"] = np.repeat(ctx, tt_, axis=0) \
+                if ctx.shape[0] == bc_ else ctx
+        context = self._context(self.frozen_params,
+                                self._device_batch(flat_batch))
+        gs = self.guidance_scale if guidance_scale is None else \
+            float(guidance_scale)
+        uncond = self._uncond_context(context, self.frozen_params) \
+            if gs != 1.0 else None
         db = {"image": jnp.asarray(batch["image"])}
         if self.pose_model is not None and pose_warp:
             db["depth"] = jnp.asarray(batch["depth"], jnp.float32)
@@ -909,11 +948,13 @@ class TrainerDiffusion:
             eval_params = self._prequant(eval_params)
         return self._sample_clip(
             eval_params, self.frozen_params, db, key,
+            context, uncond,
             num_inference_steps=num_inference_steps or
             self.num_inference_steps,
             repeat_noise=repeat_noise,
             pose_warp=pose_warp and self.pose_model is not None,
-            refine_strength=refine_strength, warp_blend=warp_blend)
+            refine_strength=refine_strength, warp_blend=warp_blend,
+            guidance_scale=gs)
 
     def calibrate_int8(self, batch: dict, key=None,
                        percentile: Optional[float] = None) -> dict:

@@ -169,3 +169,44 @@ def test_cond_noise_level_changes_training(tmp_path):
         losses.append(float(jax.device_get(metrics["loss"])))
     assert np.isfinite(losses).all()
     assert losses[0] != losses[1]
+
+
+def test_clip_sampling_with_conditioning(tmp_path):
+    """sample_panoptic_clip threads the descriptor context + CFG per
+    flattened frame (regression: the clip path used to hardcode
+    context=None, crashing conditioned models)."""
+    from ldmseg_tpu.data.video import ClipDataset
+
+    spec = DescriptorSpec(kind="none", use_cross_attention=True)
+    base = SyntheticDVPS(length=6, size=(64, 128), num_classes=20,
+                         frames_per_scene=3)
+    clips = ClipDataset(base, clip_len=3)
+    cfg = merge_dicts(SMALL, {"train_kwargs": {"batch_size": 2}})
+    tr = TrainerDiffusion(cfg, unet_config=CROSS_UNET, dataset=clips,
+                          val_dataset=base, results_folder=str(tmp_path),
+                          descriptor=spec)
+    batch = next(iter(Loader(clips, 2, shuffle=False)))
+    tr.init_state(batch)
+    batch["context"] = np.random.RandomState(0).randn(
+        2, 4, 16).astype(np.float32)  # per clip, repeated per frame
+
+    logits, x0 = tr.sample_panoptic_clip(
+        batch, jax.random.key(1), num_inference_steps=2,
+        pose_warp=False, guidance_scale=1.0)
+    assert np.isfinite(np.asarray(x0)).all()
+    assert x0.shape[0] == 2 * 3  # flattened frames
+
+    # context reaches the sampler: different context -> different x0
+    batch2 = dict(batch)
+    batch2["context"] = batch["context"] + 5.0
+    _, x0b = tr.sample_panoptic_clip(
+        batch2, jax.random.key(1), num_inference_steps=2,
+        pose_warp=False, guidance_scale=1.0)
+    assert not np.allclose(np.asarray(x0), np.asarray(x0b))
+
+    # CFG on the clip path runs and changes the samples
+    _, x0c = tr.sample_panoptic_clip(
+        batch, jax.random.key(1), num_inference_steps=2,
+        pose_warp=False, guidance_scale=3.0)
+    assert np.isfinite(np.asarray(x0c)).all()
+    assert not np.allclose(np.asarray(x0), np.asarray(x0c))
