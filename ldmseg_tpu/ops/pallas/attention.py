@@ -842,12 +842,117 @@ def _abs_padded_ln_s8_impl(x, wqp, wkp, wvp, wop, m, g, sc, heads, eps,
     )(x, wqp, wkp, wvp, wop, m, g, sc)
 
 
+def _attn_kernel_abs_padded_ln_s8_vt(x_ref, wq_ref, wk_ref, wvt_ref,
+                                     wo_ref, m_ref, g_ref, sc_ref, o_ref,
+                                     ot_ref, *, heads: int, eps: float):
+    """Transposed-VALUE variant of the ``v_bf16`` LN kernel: the value
+    path runs K-major so the PV matmul contracts over the full T dim
+    instead of producing d→128 lane-padded outputs (d=40 heads waste
+    3.2× of the bf16 PV MXU time in the row-major form — the LN
+    kernel's largest single cost at T=2048, see BENCH_NOTES round 3).
+
+    Per head: ``S^T = K Qᵀ`` (the same rhs-transposed s8 matmul as the
+    row-major QKᵀ, operands swapped), softmax over axis 0 (keys),
+    ``Oᵀ = Vᵀ Pᵀ`` with Vᵀ ``[d, T]`` — contraction T, NO padding —
+    accumulated into a ``[C, T]`` scratch, and the epilogue returns to
+    row-major for free via an lhs-transposed dot:
+    ``out[t, c] = Σ_r Oᵀ[r, t]·wo[r, c]``. No explicit transposes
+    anywhere; Mosaic lowers all three non-standard contraction orders
+    natively (probed on-chip). Vᵀ itself comes from ONE rhs-transposed
+    s8 matmul on the UNPADDED pre-transposed value weights
+    ``wvt [C, C]`` (cheaper than the padded [C, HP] projection).
+
+    ``sc`` extends the v_bf16 layout with row 2 = per-head real-unit V
+    dequant scales (``scales[:, 0, 2] * act_scale``); ``wo`` arrives
+    pre-dequantized bf16 UNPADDED ``[C, C]`` (rows grouped per head,
+    matching the scratch row groups)."""
+    xf = x_ref[0].astype(jnp.float32)   # [T, C]
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    hn = xc * jax.lax.rsqrt(var + eps) * g_ref[0] + g_ref[1]
+    xs = sc_ref[0, 2]
+    x = jnp.clip(jnp.round(hn / xs), -127, 127).astype(jnp.int8)
+    hp = wq_ref.shape[-1]
+    dp = hp // heads
+    c = x_ref.shape[-1]
+    d = c // heads
+
+    def proj(w_ref, row):
+        y32 = jax.lax.dot_general(
+            x, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)               # [T, HP]
+        return jnp.clip(jnp.round(y32.astype(jnp.float32) * m_ref[row]),
+                        -127, 127).astype(jnp.int8)
+
+    q8 = proj(wq_ref, 0)
+    k8 = proj(wk_ref, 1)
+    v32t = jax.lax.dot_general(                             # Vᵀ [C, T]
+        wvt_ref[...], x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    for h in range(heads):
+        qh = q8[:, h * dp:(h + 1) * dp]
+        kh = k8[:, h * dp:(h + 1) * dp]
+        st32 = jax.lax.dot_general(                         # Sᵀ [Tk, Tq]
+            kh, qh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        s = st32.astype(jnp.float32) * sc_ref[0, 0]
+        s = s - jnp.max(s, axis=0, keepdims=True)
+        e = jnp.exp(s).astype(jnp.bfloat16)
+        denom = jnp.sum(e.astype(jnp.float32), axis=0, keepdims=True)
+        vbt = (v32t[h * d:(h + 1) * d].astype(jnp.float32)
+               * sc_ref[2, h]).astype(jnp.bfloat16)         # [d, Tk]
+        ovt = jax.lax.dot_general(                          # Oᵀ [d, Tq]
+            vbt, e, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ot_ref[h * d:(h + 1) * d, :] = (ovt / denom).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(                              # [T, C]
+        ot_ref[...], wo_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (xf + out + g_ref[2]).astype(o_ref.dtype)
+
+
+def _abs_padded_ln_s8_vt_impl(x, wqp, wkp, wvt8, wo_dq, m, g, sc, heads,
+                              eps, interpret=False):
+    b, t, c = x.shape
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_abs_padded_ln_s8_vt, heads=heads,
+                          eps=eps),
+        grid=(b,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wqp.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wkp.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wvt8.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wo_dq.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(m.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(g.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((c, t), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(x, wqp, wkp, wvt8, wo_dq, m, g, sc)
+
+
 def absorbed_padded_ln_self_attention_s8(
     x: jnp.ndarray, ln_scale, ln_bias, out_bias,
     wq8, wk8, wv8, wo8, scales,
     heads: int, scale: float, act_scale: float,
     attn_scale: float = 0.1, eps: float = 1e-6, max_seq: int = 2048,
-    v_bf16: bool = True,
+    v_bf16: bool = True, v_transposed: bool = True,
 ) -> jnp.ndarray:
     """``x + to_out(attn(LN(x)))`` in one fused s8 kernel — the padded
     absorbed kernel plus the block's pre-attention LayerNorm, to_out
@@ -879,6 +984,22 @@ def absorbed_padded_ln_self_attention_s8(
     wqp, wkp, wvp, wop, m, sc = _abs_padded_prep(
         wq8, wk8, wv8, wo8, scales, heads, act_scale, attn_scale, scale)
     sc = sc.at[0, 2].set(jnp.float32(act_scale))
+    if v_transposed:
+        # K-major value path (see _attn_kernel_abs_padded_ln_s8_vt):
+        # unpadded pre-transposed value weights, unpadded bf16 wo (rows
+        # grouped per head), per-head real-unit V scales in sc row 2.
+        g = jnp.zeros((8, c), jnp.float32)
+        g = g.at[0].set(ln_scale.astype(jnp.float32))
+        g = g.at[1].set(ln_bias.astype(jnp.float32))
+        g = g.at[2].set(out_bias.astype(jnp.float32))
+        sc = sc.at[2, :heads].set(scales[:, 0, 2] * jnp.float32(act_scale))
+        wvt8 = wv8.T
+        wo_dq = (wo8.astype(jnp.float32)
+                 * jnp.repeat(scales[:, 0, 3], d)[:, None]
+                 ).astype(jnp.bfloat16)
+        return _abs_padded_ln_s8_vt_impl(
+            x, wqp, wkp, wvt8, wo_dq, m, g, sc, heads,
+            eps).astype(x.dtype)
     if v_bf16:
         # real-unit V dequant scales (m row 3) + pre-dequantized bf16 wo
         dp = wqp.shape[-1] // heads

@@ -885,6 +885,73 @@ def test_absorbed_padded_ln_vbf16_kernel_interpret_mode():
     assert rels[True] < 0.06, rels
 
 
+def test_absorbed_padded_ln_vt_kernel_interpret_mode():
+    """Transposed-value variant of the LN kernel (K-major value path, no
+    PV lane padding) computes the same math as v_bf16 — match the float
+    reference within the same tolerance AND the v_bf16 kernel output
+    closely (same quantization points, only the matmul order differs)."""
+    from ldmseg_tpu.ops.pallas.attention import (
+        _abs_padded_prep, _abs_padded_ln_s8_impl,
+        _abs_padded_ln_s8_vt_impl, quantize_head_weights, _xla_bthd)
+    b, t, heads, d = 2, 32, 4, 8
+    c = heads * d
+    rng = np.random.RandomState(23)
+    x = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    g1 = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+    bo = jnp.asarray(0.05 * rng.randn(c), jnp.float32)
+    wq, wk, wv, wo = (jnp.asarray(rng.randn(c, c), jnp.float32) * 0.2
+                      for _ in range(4))
+    scale = d**-0.5
+    xf = np.asarray(x, np.float32)
+    mu = xf.mean(-1, keepdims=True)
+    xc = xf - mu
+    hn = (xc / np.sqrt((xc * xc).mean(-1, keepdims=True) + 1e-6)
+          * np.asarray(g1) + np.asarray(be1))
+    hj = jnp.asarray(hn, jnp.float32)
+    q = (hj @ wq).reshape(b, t, heads, d)
+    k = (hj @ wk).reshape(b, t, heads, d)
+    v = (hj @ wv).reshape(b, t, heads, d)
+    ref = (xf + np.asarray(
+        _xla_bthd(q, k, v, scale).reshape(b, t, c) @ wo) + np.asarray(bo))
+
+    wq8, wk8, wv8, wo8, scales = quantize_head_weights(wq, wk, wv, wo,
+                                                       heads)
+    flat_qkv = lambda w8: jnp.transpose(  # noqa: E731
+        w8, (1, 0, 2)).reshape(c, c)
+    w8 = (flat_qkv(wq8), flat_qkv(wk8), flat_qkv(wv8), wo8.reshape(c, c))
+    act_scale = float(np.abs(hn).max()) / 127.0
+    attn_scale = float(max(np.abs(np.asarray(p)).max()
+                           for p in (q, k, v))) / 127.0
+    gt = jnp.zeros((8, c), jnp.float32).at[0].set(g1).at[1].set(
+        be1).at[2].set(bo)
+
+    wqp, wkp, wvp, wop, mm, sc = _abs_padded_prep(
+        *w8, scales, heads, act_scale, attn_scale, scale)
+    sc = sc.at[0, 2].set(act_scale)
+    # v_bf16 baseline
+    dp = wqp.shape[-1] // heads
+    mb = mm.at[3].set(jnp.repeat(scales[:, 0, 2], dp) * act_scale)
+    wob = (wop.astype(jnp.float32)
+           * jnp.repeat(scales[:, 0, 3], dp)[:, None]).astype(jnp.bfloat16)
+    base = np.asarray(_abs_padded_ln_s8_impl(
+        x, wqp, wkp, wvp, wob, mb, gt, sc, heads, 1e-6, v_bf16=True,
+        interpret=True), np.float32)
+    # transposed-value kernel
+    sc2 = sc.at[2, :heads].set(scales[:, 0, 2] * act_scale)
+    wvt8 = w8[2].T
+    wo_dq = (w8[3].astype(jnp.float32)
+             * jnp.repeat(scales[:, 0, 3], d)[:, None]).astype(jnp.bfloat16)
+    out = np.asarray(_abs_padded_ln_s8_vt_impl(
+        x, wqp, wkp, wvt8, wo_dq, mm, gt, sc2, heads, 1e-6,
+        interpret=True), np.float32)
+    assert np.isfinite(out).all()
+    rel_ref = np.abs(out - ref).mean() / np.abs(ref).mean()
+    rel_base = np.abs(out - base).mean() / (np.abs(base).mean() + 1e-9)
+    assert rel_ref < 0.06, rel_ref
+    assert rel_base < 0.02, rel_base
+
+
 def test_flash_attention_backward_interpret():
     """The flash-style backward kernel (dQ/dK/dV without HBM score
     round-trips — the TPU training path) matches the XLA vjp through the
