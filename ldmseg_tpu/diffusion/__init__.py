@@ -8,6 +8,7 @@ from .ddim import (
     ddim_step,
 )
 from .sampler import ddim_sample, ddim_refine
+from .dpm import dpmpp_2m_sample
 
 __all__ = [
     "DDIMSchedule",
@@ -19,4 +20,5 @@ __all__ = [
     "ddim_step",
     "ddim_sample",
     "ddim_refine",
+    "dpmpp_2m_sample",
 ]

@@ -1,0 +1,117 @@
+"""DPM-Solver++(2M): second-order multistep ODE sampler, one ``lax.scan``.
+
+No reference counterpart — the fork samples with 50-step DDIM only
+(ldmseg/trainers/trainers_ldm_cond.py:1130-1162). Added because on TPU
+the sampling scan is ~96% of inference cost and is linear in the step
+count: a 2nd-order multistep solver integrates the same probability-flow
+ODE to comparable accuracy in 2-3× fewer UNet calls (Lu et al. 2022,
+"DPM-Solver++", arXiv:2211.01095 — data-prediction multistep variant,
+the `dpmsolver++`/`2M` config of diffusers' DPMSolverMultistepScheduler,
+re-derived here from the paper's eq. (4.4)/(4.5); no code ported).
+
+Design notes (TPU):
+  * the timestep grid reuses :func:`~ldmseg_tpu.diffusion.ddim.
+    inference_timesteps` (the fork's offset grid) so DPM++ at N steps
+    visits a subset-compatible trajectory of DDIM's and shares schedule
+    tables — no new state on the schedule object;
+  * all per-step solver coefficients are precomputed as stacked scan
+    inputs (static shapes, constant-folded under jit); the scan body is
+    one UNet call plus two fused multiply-adds;
+  * the final step (and the first, which has no history) drop to first
+    order — exactly diffusers' ``lower_order_final`` rule — expressed as
+    a per-step weight of 0 instead of control flow.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ddim import DDIMSchedule, inference_timesteps
+
+
+def _to_x0(sched: DDIMSchedule, model_output, sample, alpha_prod_t):
+    """Convert the model output to an x0 prediction (same conversion as
+    :func:`~ldmseg_tpu.diffusion.ddim.ddim_step`, reference
+    ddim_scheduler.py:218-269)."""
+    beta_prod_t = 1.0 - alpha_prod_t
+    if sched.prediction_type == "epsilon":
+        x0 = (sample - beta_prod_t**0.5 * model_output) / alpha_prod_t**0.5
+    elif sched.prediction_type == "sample":
+        x0 = model_output
+    elif sched.prediction_type == "v_prediction":
+        x0 = alpha_prod_t**0.5 * sample - beta_prod_t**0.5 * model_output
+    else:
+        raise NotImplementedError(sched.prediction_type)
+    if sched.clip_sample:
+        x0 = jnp.clip(x0, -sched.clip_sample_range, sched.clip_sample_range)
+    return x0
+
+
+def dpmpp_2m_sample(
+    sched: DDIMSchedule,
+    model_fn: Callable[[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray],
+                       jnp.ndarray],
+    init_latents: jnp.ndarray,
+    num_inference_steps: int = 20,
+    self_condition: bool = False,
+    tmin: int = 0,
+) -> jnp.ndarray:
+    """Deterministic DPM-Solver++(2M) sampling; drop-in for
+    :func:`~ldmseg_tpu.diffusion.sampler.ddim_sample` (same signature
+    contract: returns the final x0 prediction).
+
+    With α_t = √ᾱ_t, σ_t = √(1-ᾱ_t), λ_t = log(α_t/σ_t) and
+    h_i = λ_{t_{i+1}} - λ_{t_i} (toward lower noise), the multistep
+    data-prediction update is
+
+        D_i = (1 + w_i)·x0_i - w_i·x0_{i-1},   w_i = h_i / (2 h_{i-1})
+        x_{i+1} = (σ_{t_{i+1}}/σ_{t_i})·x_i + α_{t_{i+1}}(1 - e^{-h_i})·D_i
+
+    with w_i = 0 on the first step (no history) and the last step
+    (h → ∞ as σ → 0 under ``set_alpha_to_one``).
+    """
+    ts = jnp.asarray(inference_timesteps(
+        sched.num_train_timesteps, num_inference_steps, tmin=tmin))
+    n = ts.shape[0]
+    step_ratio = sched.num_train_timesteps // num_inference_steps
+
+    ac = sched.alphas_cumprod
+    ac_t = ac[ts]
+    prev_t = ts - step_ratio
+    ac_p = jnp.where(prev_t >= 0, ac[jnp.clip(prev_t, 0, None)],
+                     sched.final_alpha_cumprod)
+    a_t, s_t = jnp.sqrt(ac_t), jnp.sqrt(1.0 - ac_t)
+    a_p, s_p = jnp.sqrt(ac_p), jnp.sqrt(1.0 - ac_p)
+
+    # e^{-h_i} = (α_t σ_p) / (σ_t α_p): exactly 0 at the σ_p = 0 boundary,
+    # so c_x/c_d stay finite with no special-casing.
+    emh = (a_t * s_p) / (s_t * a_p)
+    c_x = s_p / s_t                       # σ_prev/σ_t
+    c_d = a_p * (1.0 - emh)               # α_prev(1 − e^{−h})
+    h = -jnp.log(jnp.maximum(emh, 1e-20))
+    h_prev = jnp.concatenate([h[:1], h[:-1]])
+    w = h / (2.0 * h_prev)
+    first_order = (jnp.arange(n) == 0) | (emh <= 0.0) | (emh >= 1.0)
+    w = jnp.where(first_order, 0.0, w)
+
+    condition0 = jnp.zeros_like(init_latents) if self_condition else None
+
+    def body(carry, sc):
+        x, x0_prev, condition = carry
+        t, apt, cx, cd, wi = sc
+        pred = model_fn(x, condition, t)
+        x0 = _to_x0(sched, pred, x, apt)
+        d = (1.0 + wi) * x0 - wi * x0_prev
+        x_next = cx * x + cd * d
+        new_condition = x0 if self_condition else None
+        return (x_next, x0, new_condition), 0.0
+
+    init = (init_latents * sched.init_noise_sigma,
+            jnp.zeros_like(init_latents), condition0)
+    (final_x, final_x0, _), _ = jax.lax.scan(
+        body, init, (ts, ac_t, c_x, c_d, w))
+    del final_x  # at the σ=0 boundary final_x == final_x0 (first-order)
+    return final_x0

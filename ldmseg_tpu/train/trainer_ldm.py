@@ -33,7 +33,8 @@ import numpy as np
 
 from ..models import SegVAE, ImageVAE, UNet2DCondition, UNetConfig
 from ..diffusion import (
-    make_ddim_schedule, add_noise, remove_noise, ddim_sample)
+    make_ddim_schedule, add_noise, remove_noise, ddim_sample,
+    dpmpp_2m_sample)
 from ..losses import diffusion_loss
 from ..parallel import make_mesh, shard_batch, replicate
 from ..utils.meters import AverageMeter, ProgressMeter
@@ -127,6 +128,10 @@ class TrainerDiffusion:
         self.overlap_th = ek.get("overlap_th", 0.5)
         sk = p["sampling_kwargs"]
         self.num_inference_steps = sk.get("num_inference_steps", 50)
+        # "ddim" (reference parity) or "dpmpp_2m" (diffusion/dpm.py:
+        # 2nd-order multistep — comparable quality in 2-3x fewer steps)
+        self.sampler = sk.get("sampler", "ddim")
+        assert self.sampler in ("ddim", "dpmpp_2m"), self.sampler
         # CFG (reference sample :1147-1149 + guidance_scale base.yaml:118);
         # inactive unless the descriptor produces a context
         self.guidance_scale = float(sk.get("guidance_scale", 1.0))
@@ -760,9 +765,11 @@ class TrainerDiffusion:
 
             model_fn = cfg_model_fn(model_fn, uncond_fn, guidance_scale)
 
-        x0 = ddim_sample(self.sched, model_fn, init,
-                         num_inference_steps=num_inference_steps,
-                         self_condition=self.self_condition)
+        sample_fn = dpmpp_2m_sample if self.sampler == "dpmpp_2m" \
+            else ddim_sample
+        x0 = sample_fn(self.sched, model_fn, init,
+                       num_inference_steps=num_inference_steps,
+                       self_condition=self.self_condition)
         # decode_latents (:399-427): unscale + seg-VAE decode to logits
         z = x0 * (1.0 / self.seg_scale)
         logits = self.vae_seg.apply(frozen["vae_seg"], z, True,
@@ -860,9 +867,11 @@ class TrainerDiffusion:
                                           lh, lw, 4))
         init = jnp.broadcast_to(init, (bc, tt, lh, lw, 4)).reshape(
             b, lh, lw, 4)
-        x0 = ddim_sample(self.sched, model_fn, init,
-                         num_inference_steps=num_inference_steps,
-                         self_condition=self.self_condition)
+        sample_fn = dpmpp_2m_sample if self.sampler == "dpmpp_2m" \
+            else ddim_sample
+        x0 = sample_fn(self.sched, model_fn, init,
+                       num_inference_steps=num_inference_steps,
+                       self_condition=self.self_condition)
 
         if pose_warp and self.pose_model is not None:
             images_clip = flat_img.reshape(imgs.shape)

@@ -144,6 +144,10 @@ DEFAULT_CONFIG: dict = {
     },
     "sampling_kwargs": {
         "num_inference_steps": 50,
+        # "ddim" (reference parity) or "dpmpp_2m" (DPM-Solver++ 2M:
+        # comparable sample quality in 2-3x fewer steps — pair with
+        # num_inference_steps 15-25)
+        "sampler": "ddim",
         "guidance_scale": 7.5,
         "seed": 0,
         "block_size": 2,
