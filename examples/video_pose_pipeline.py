@@ -110,6 +110,7 @@ def main():
         repeat_noise=False)
     _, x0_warp = ldm.sample_panoptic_clip(
         batch, jax.random.key(3), num_inference_steps=4, pose_warp=True,
+        repeat_noise=False,  # same independent noise — isolate the warp
         refine_strength=0.5, warp_blend=0.5)
     d_plain, d_warp = disagreement(x0_plain), disagreement(x0_warp)
     print(f"cross-frame latent disagreement: per-frame {d_plain:.4f} "

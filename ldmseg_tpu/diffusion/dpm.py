@@ -94,7 +94,11 @@ def dpmpp_2m_sample(
     h = -jnp.log(jnp.maximum(emh, 1e-20))
     h_prev = jnp.concatenate([h[:1], h[:-1]])
     w = h / (2.0 * h_prev)
-    first_order = (jnp.arange(n) == 0) | (emh <= 0.0) | (emh >= 1.0)
+    # lower_order_final: the last step always drops to first order (the
+    # 2nd-order extrapolation can overshoot near t=0 where the data
+    # prediction changes fastest), plus any degenerate-h step
+    first_order = ((jnp.arange(n) == 0) | (jnp.arange(n) == n - 1)
+                   | (emh <= 0.0) | (emh >= 1.0))
     w = jnp.where(first_order, 0.0, w)
 
     condition0 = jnp.zeros_like(init_latents) if self_condition else None

@@ -984,10 +984,12 @@ def absorbed_padded_ln_self_attention_s8(
     wqp, wkp, wvp, wop, m, sc = _abs_padded_prep(
         wq8, wk8, wv8, wo8, scales, heads, act_scale, attn_scale, scale)
     sc = sc.at[0, 2].set(jnp.float32(act_scale))
-    if v_transposed:
+    if v_transposed and v_bf16:
         # K-major value path (see _attn_kernel_abs_padded_ln_s8_vt):
         # unpadded pre-transposed value weights, unpadded bf16 wo (rows
         # grouped per head), per-head real-unit V scales in sc row 2.
+        # Only a refinement of the bf16-V path — an explicit
+        # v_bf16=False still selects the pure-s8 V kernel below.
         g = jnp.zeros((8, c), jnp.float32)
         g = g.at[0].set(ln_scale.astype(jnp.float32))
         g = g.at[1].set(ln_bias.astype(jnp.float32))

@@ -928,8 +928,11 @@ class TrainerDiffusion:
         bc_, tt_ = imgs.shape[:2]
         flat_batch = {"image": imgs.reshape((-1,) + imgs.shape[2:])}
         if "text" in batch:
+            # per-clip captions repeat per frame; already-flat [B*T]
+            # lists pass through (same guard as text_tokens/context)
             flat_batch["text"] = [s for s in batch["text"]
-                                  for _ in range(tt_)]
+                                  for _ in range(tt_)] \
+                if len(batch["text"]) == bc_ else list(batch["text"])
         if "text_tokens" in batch:
             toks = np.asarray(batch["text_tokens"])
             flat_batch["text_tokens"] = np.repeat(toks, tt_, axis=0) \
