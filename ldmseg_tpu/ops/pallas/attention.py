@@ -899,13 +899,18 @@ def _attn_kernel_abs_padded_ln_s8_vt(x_ref, wq_ref, wk_ref, wvt_ref,
         s = st32.astype(jnp.float32) * sc_ref[0, 0]
         s = s - jnp.max(s, axis=0, keepdims=True)
         e = jnp.exp(s).astype(jnp.bfloat16)
-        denom = jnp.sum(e.astype(jnp.float32), axis=0, keepdims=True)
         vbt = (v32t[h * d:(h + 1) * d].astype(jnp.float32)
                * sc_ref[2, h]).astype(jnp.bfloat16)         # [d, Tk]
-        ovt = jax.lax.dot_general(                          # Oᵀ [d, Tq]
+        # 8 ones rows ride along so the SAME matmul yields the softmax
+        # denominator (row d) — no [T,T] cross-sublane VPU sum
+        vbt = jnp.concatenate(
+            [vbt, jnp.ones((8, vbt.shape[1]), jnp.bfloat16)], axis=0)
+        ovt = jax.lax.dot_general(                          # Oᵀ [d+8, Tq]
             vbt, e, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ot_ref[h * d:(h + 1) * d, :] = (ovt / denom).astype(jnp.bfloat16)
+        denom = ovt[d]
+        ot_ref[h * d:(h + 1) * d, :] = (ovt[:d] / denom).astype(
+            jnp.bfloat16)
     out = jax.lax.dot_general(                              # [T, C]
         ot_ref[...], wo_ref[...], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
