@@ -171,6 +171,47 @@ def test_cond_noise_level_changes_training(tmp_path):
     assert losses[0] != losses[1]
 
 
+def test_clip_sampling_text_token_flattening(tmp_path):
+    """Clip sampling accepts descriptor tokens per CLIP ([B, 77]) or
+    already flattened per FRAME ([B*T, 77]); per-clip tokens repeat per
+    frame and both forms sample identically (regression: the flat form
+    used to be re-repeated to B*T*T)."""
+    transformers = pytest.importorskip("transformers")
+    from ldmseg_tpu.data.video import ClipDataset
+
+    cfgc = transformers.CLIPTextConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=1, num_attention_heads=2,
+        max_position_embeddings=77)
+    model = transformers.FlaxCLIPTextModel(cfgc, seed=0)
+    spec = DescriptorSpec(kind="clip_text", use_cross_attention=True,
+                          model=model)
+    base = SyntheticDVPS(length=6, size=(64, 128), num_classes=20,
+                         frames_per_scene=3)
+    clips = ClipDataset(base, clip_len=3)
+    cfg = merge_dicts(SMALL, {"train_kwargs": {"batch_size": 2}})
+    tr = TrainerDiffusion(cfg, unet_config=CROSS_UNET, dataset=clips,
+                          val_dataset=base, results_folder=str(tmp_path),
+                          descriptor=spec)
+    batch = next(iter(Loader(clips, 2, shuffle=False)))
+    tr.init_state(batch)
+
+    toks = np.random.RandomState(0).randint(
+        0, 64, size=(2, 77)).astype(np.int32)
+    batch["text_tokens"] = toks
+    _, x0_clip = tr.sample_panoptic_clip(
+        batch, jax.random.key(1), num_inference_steps=2, pose_warp=False,
+        guidance_scale=1.0)
+
+    flat = dict(batch)
+    flat["text_tokens"] = np.repeat(toks, 3, axis=0)  # [B*T, 77]
+    _, x0_flat = tr.sample_panoptic_clip(
+        flat, jax.random.key(1), num_inference_steps=2, pose_warp=False,
+        guidance_scale=1.0)
+    np.testing.assert_allclose(np.asarray(x0_clip), np.asarray(x0_flat),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_clip_sampling_with_conditioning(tmp_path):
     """sample_panoptic_clip threads the descriptor context + CFG per
     flattened frame (regression: the clip path used to hardcode
