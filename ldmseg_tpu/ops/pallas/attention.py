@@ -896,6 +896,11 @@ def _attn_kernel_abs_padded_ln_s8_vt(x_ref, wq_ref, wk_ref, wvt_ref,
         st32 = jax.lax.dot_general(                         # Sᵀ [Tk, Tq]
             kh, qh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
+        # NOTE: doing max+subtract in the int32 domain measured FASTER
+        # standalone (3.00 vs 3.22 ms/layer) but consistently SLOWER
+        # e2e (9.97/10.00 vs 10.11 f/s) — same lesson as the MXU-LN
+        # stats experiment (BENCH_NOTES): kernel-internal reorderings
+        # must be confirmed e2e. f32 form kept.
         s = st32.astype(jnp.float32) * sc_ref[0, 0]
         s = s - jnp.max(s, axis=0, keepdims=True)
         e = jnp.exp(s).astype(jnp.bfloat16)
