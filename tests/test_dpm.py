@@ -132,6 +132,27 @@ def test_dpmpp_self_condition_runs():
     assert calls and all(calls)  # traced with a condition tensor
 
 
+def test_dpmpp_golden_trajectory():
+    """Fixed-seed golden stats (same pattern as test_golden_ddim.py) —
+    any solver-coefficient regression shifts these numbers. Captured on
+    the CPU mesh at 10.1-f/s round-3 state."""
+    sched = make_ddim_schedule(
+        beta_schedule="scaled_linear", beta_start=0.00085, beta_end=0.012,
+        clip_sample=False, set_alpha_to_one=False)
+
+    def model(latents, condition, t):
+        tt = jnp.asarray(t, jnp.float32) / 1000.0
+        return 0.25 * latents + 0.1 * jnp.tanh(latents) + 0.05 * tt
+
+    init = jax.random.normal(jax.random.key(42), (2, 4, 6, 4))
+    out = np.asarray(dpmpp_2m_sample(sched, model, init,
+                                     num_inference_steps=10), np.float64)
+    stats = np.array([out.mean(), out.std(), out.min(), out.max()])
+    golden = np.array([-0.2741657436, 5.2899328886, -14.7012767792,
+                       14.912062645])
+    np.testing.assert_allclose(stats, golden, rtol=2e-4, atol=1e-5)
+
+
 def test_trainer_dpmpp_sampler_config(tmp_path):
     """sampling_kwargs.sampler='dpmpp_2m' drives sample_panoptic end to
     end and produces finite logits that differ from the DDIM path at the
