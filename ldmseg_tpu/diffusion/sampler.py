@@ -122,8 +122,10 @@ def ddim_refine(
 
 
 def cfg_model_fn(
-    raw_model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
-    uncond_model_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    raw_model_fn: Callable[
+        [jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray], jnp.ndarray],
+    uncond_model_fn: Callable[
+        [jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray], jnp.ndarray],
     guidance_scale: float,
 ) -> Callable:
     """Classifier-free guidance wrapper (reference :1147-1149).

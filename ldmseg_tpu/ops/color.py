@@ -34,7 +34,10 @@ def color_map(N: int = 256, normalized: bool = False) -> np.ndarray:
 def random_color_map(num_colors: int = 20, seed: int = 20) -> np.ndarray:
     """Seeded random colormap. Parity: kitti.py:22-27 (seed 20)."""
     rng = np.random.RandomState(seed)
-    return rng.randint(0, 256, (num_colors, 3)).astype(np.uint8)
+    # dtype=uint8 (not astype) — np.random draws uint8 directly from a
+    # different point of the MT19937 stream, and the reference palette
+    # depends on that exact consumption order
+    return rng.randint(0, 256, (num_colors, 3), dtype=np.uint8)
 
 
 def colorize_panoptic_np(panoptic_map: np.ndarray,

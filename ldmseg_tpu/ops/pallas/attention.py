@@ -117,7 +117,7 @@ def fused_self_attention_s8(
     re-read each projection output and cost ~1.8 ms/fwd in the profiled
     b16 step; accuracy stays gated by tests/test_int8_inference.py."""
     b, t, h, dh = q.shape
-    if (t > max_seq or t % min(block_q, t) != 0
+    if (t > max_seq or t % min(block_q, t) != 0 or t % 8 != 0
             or jax.default_backend() == "cpu"):  # no compiled pallas on CPU
         return _xla_bthd(q, k, v, scale)
     if act_scale is not None:
@@ -1413,7 +1413,7 @@ def fused_self_attention(
     heads into the batch grid instead (one transpose each way).
     """
     b, t, h, dh = q.shape
-    if (t > max_seq or t % min(block_q, t) != 0
+    if (t > max_seq or t % min(block_q, t) != 0 or t % 8 != 0
             or jax.default_backend() == "cpu"):
         return _xla_bthd(q, k, v, scale)
     flat = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, dh)  # noqa

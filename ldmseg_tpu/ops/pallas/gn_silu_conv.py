@@ -32,27 +32,11 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, out_ref, pad_ref,
     x = x_ref[0].astype(jnp.float32)              # [H, W, C]
     h, w, c = x.shape
     cout = out_ref.shape[-1]
-    cg = c // groups
 
-    # --- GroupNorm stats via one-hot matmul (no lane-dim reshape) ---
-    xf = x.reshape(h * w, c)
-    chan_group = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
-    group_ids = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
-    m = (chan_group == group_ids).astype(jnp.float32)
-    n = jnp.float32(h * w * cg)
-    s1 = jnp.sum(xf, axis=0, keepdims=True)
-    s2 = jnp.sum(xf * xf, axis=0, keepdims=True)
-    mean_g = jnp.dot(s1, m, preferred_element_type=jnp.float32) / n
-    var_g = jnp.dot(s2, m, preferred_element_type=jnp.float32) / n - \
-        mean_g * mean_g
-    inv_g = jax.lax.rsqrt(var_g + eps)
-    mean_c = jnp.dot(mean_g, m.T, preferred_element_type=jnp.float32)
-    inv_c = jnp.dot(inv_g, m.T, preferred_element_type=jnp.float32)
-
-    y = (xf - mean_c) * inv_c
-    y = y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(
-        jnp.float32)
-    y = y * jax.nn.sigmoid(y)                     # SiLU
+    # --- GroupNorm + SiLU (shared one-hot-matmul stats helper) ---
+    from .groupnorm_silu import gn_silu_rows
+    y = gn_silu_rows(x.reshape(h * w, c), scale_ref[:], bias_ref[:],
+                     groups, eps)
 
     # --- zero-padded activation scratch [H+2, W+2, C] ---
     pad_ref[...] = jnp.zeros_like(pad_ref)
@@ -146,11 +130,13 @@ fused_gn_silu_conv.defvjp(_fwd, _bwd)
 
 def gn_silu_conv(x, scale, bias, w, b, groups: int = 32, eps: float = 1e-5,
                  max_vmem_tile_bytes: int = 6 * 1024 * 1024):
-    """Dispatch: Pallas when the image tile fits, else XLA."""
+    """Dispatch: Pallas when the image tile fits, else XLA. Off-TPU
+    backends always take the XLA path (compiled pallas_call cannot
+    lower on the CPU test mesh)."""
     _, h, wd, c = x.shape
     cout = w.shape[-1]
     need = max(_vbytes((h, wd, c), jnp.float32),
                _vbytes((h, wd, cout), jnp.float32))
-    if need <= max_vmem_tile_bytes:
+    if jax.default_backend() != "cpu" and need <= max_vmem_tile_bytes:
         return fused_gn_silu_conv(x, scale, bias, w, b, groups, eps)
     return _reference(x, scale, bias, w, b, groups, eps)

@@ -22,23 +22,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gn_silu_kernel(x_ref, scale_ref, bias_ref, out_ref, *, groups: int,
-                    eps: float):
-    # Mosaic cannot shape-cast across the lane (channel) dim, so group
-    # statistics are computed with a [C, G] one-hot matmul instead of a
-    # reshape into (G, C/G).
-    x = x_ref[0].astype(jnp.float32)          # [H, W, C]
-    h, w, c = x.shape
+def gn_silu_rows(xf, scale, bias, groups: int, eps: float):
+    """GroupNorm + SiLU over flattened ``[HW, C]`` fp32 rows — THE single
+    definition of the in-kernel GN numerics, shared by all three fused
+    kernels (plain, +quant, +conv). Mosaic cannot shape-cast across the
+    lane (channel) dim, so group statistics are computed with a ``[C, G]``
+    one-hot matmul instead of a reshape into ``(G, C/G)``."""
+    hw, c = xf.shape
     cg = c // groups
-    xf = x.reshape(h * w, c)                  # merge sublane dims only
-
     chan_group = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
     group_ids = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
     m = (chan_group == group_ids).astype(jnp.float32)  # [C, G]
 
     s1 = jnp.sum(xf, axis=0, keepdims=True)            # [1, C]
     s2 = jnp.sum(xf * xf, axis=0, keepdims=True)
-    n = jnp.float32(h * w * cg)
+    n = jnp.float32(hw * cg)
     mean_g = jnp.dot(s1, m, preferred_element_type=jnp.float32) / n
     ex2_g = jnp.dot(s2, m, preferred_element_type=jnp.float32) / n
     var_g = ex2_g - mean_g * mean_g
@@ -47,9 +45,16 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, out_ref, *, groups: int,
     inv_c = jnp.dot(inv_g, m.T, preferred_element_type=jnp.float32)
 
     y = (xf - mean_c) * inv_c
-    y = y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(
-        jnp.float32)
-    y = y * jax.nn.sigmoid(y)                 # SiLU
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y * jax.nn.sigmoid(y)              # SiLU
+
+
+def _gn_silu_kernel(x_ref, scale_ref, bias_ref, out_ref, *, groups: int,
+                    eps: float):
+    x = x_ref[0].astype(jnp.float32)          # [H, W, C]
+    h, w, c = x.shape
+    y = gn_silu_rows(x.reshape(h * w, c), scale_ref[:], bias_ref[:],
+                     groups, eps)
     out_ref[0] = y.reshape(h, w, c).astype(out_ref.dtype)
 
 
@@ -124,9 +129,12 @@ fused_group_norm_silu.defvjp(_fwd, _bwd)
 
 def group_norm_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5,
                     max_vmem_tile_bytes: int = 8 * 1024 * 1024):
-    """Dispatch: Pallas when one image tile fits in VMEM, else XLA."""
+    """Dispatch: Pallas when one image tile fits in VMEM, else XLA.
+    Off-TPU backends always take the XLA path (compiled pallas_call
+    cannot lower on the CPU test mesh)."""
     _, h, w, c = x.shape
-    if _vmem_bytes((h, w, c), jnp.float32) <= max_vmem_tile_bytes:
+    if (jax.default_backend() != "cpu"
+            and _vmem_bytes((h, w, c), jnp.float32) <= max_vmem_tile_bytes):
         return fused_group_norm_silu(x, scale, bias, groups, eps)
     return _reference(x, scale, bias, groups, eps)
 
@@ -144,27 +152,8 @@ def _gn_silu_quant_kernel(x_ref, scale_ref, bias_ref, q_ref, s_ref, *,
                           groups: int, eps: float):
     x = x_ref[0].astype(jnp.float32)          # [H, W, C]
     h, w, c = x.shape
-    cg = c // groups
-    xf = x.reshape(h * w, c)
-
-    chan_group = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
-    group_ids = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
-    m = (chan_group == group_ids).astype(jnp.float32)  # [C, G]
-
-    s1 = jnp.sum(xf, axis=0, keepdims=True)
-    s2 = jnp.sum(xf * xf, axis=0, keepdims=True)
-    n = jnp.float32(h * w * cg)
-    mean_g = jnp.dot(s1, m, preferred_element_type=jnp.float32) / n
-    ex2_g = jnp.dot(s2, m, preferred_element_type=jnp.float32) / n
-    var_g = ex2_g - mean_g * mean_g
-    inv_g = jax.lax.rsqrt(var_g + eps)
-    mean_c = jnp.dot(mean_g, m.T, preferred_element_type=jnp.float32)
-    inv_c = jnp.dot(inv_g, m.T, preferred_element_type=jnp.float32)
-
-    y = (xf - mean_c) * inv_c
-    y = y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(
-        jnp.float32)
-    y = y * jax.nn.sigmoid(y)                 # SiLU
+    y = gn_silu_rows(x.reshape(h * w, c), scale_ref[:], bias_ref[:],
+                     groups, eps)
 
     amax = jnp.maximum(jnp.max(jnp.abs(y)), 1e-6)
     s = amax / 127.0

@@ -39,19 +39,8 @@ def _int8_conv_impl(x, w, strides, padding, act_scale=None):
     round/clip fuse into the producing elementwise pass instead of
     costing an extra amax sweep over the activation) and per-output-
     channel weight scale; returns x.dtype."""
-    # weight: symmetric per-output-channel (HWIO -> O)
-    w_absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2))
-    w_scale = jnp.maximum(w_absmax, 1e-8) / 127.0
-    w_q = jnp.round(w.astype(jnp.float32) / w_scale).astype(jnp.int8)
-
-    x_f = x.astype(jnp.float32)
-    if act_scale is None:
-        x_absmax = jnp.max(jnp.abs(x_f))
-        x_scale = jnp.maximum(x_absmax, 1e-8) / 127.0
-    else:
-        x_scale = jnp.float32(act_scale)
-    x_q = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
-
+    w_q, w_scale = quantize_weight(w)
+    x_q, x_scale = quantize_activation(x, act_scale)
     y = jax.lax.conv_general_dilated(
         x_q, w_q, strides, padding,
         dimension_numbers=_dn(x.shape, w.shape),
@@ -90,6 +79,21 @@ def quantize_weight(w):
     w_scale = jnp.maximum(w_absmax, 1e-8) / 127.0
     w_q = jnp.round(w.astype(jnp.float32) / w_scale).astype(jnp.int8)
     return w_q, w_scale
+
+
+def quantize_activation(x, act_scale=None):
+    """Per-tensor symmetric int8 activation quantization: static scale
+    when given (round/clip fuses into the producing elementwise pass),
+    else dynamic amax. THE single definition of the activation-quant
+    policy — int8_conv / prequantized conv / int8_dot all route here so
+    the in-graph and prequantized paths stay bit-for-bit identical."""
+    x_f = x.astype(jnp.float32)
+    if act_scale is None:
+        x_scale = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-8) / 127.0
+    else:
+        x_scale = jnp.float32(act_scale)
+    x_q = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
+    return x_q, x_scale
 
 
 def int8_conv_prequant(q, s, w, strides, padding, out_dtype=jnp.bfloat16):
@@ -225,13 +229,7 @@ def _int8_conv_wq(x, w_q, w_scale, strides, padding, act_scale,
     so flipping a tree through ``prequantize_conv_tree`` is a no-op
     numerically."""
     out_dtype = x.dtype if out_dtype is None else out_dtype
-    x_f = x.astype(jnp.float32)
-    if act_scale is None:
-        x_absmax = jnp.max(jnp.abs(x_f))
-        x_scale = jnp.maximum(x_absmax, 1e-8) / 127.0
-    else:
-        x_scale = jnp.float32(act_scale)
-    x_q = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
+    x_q, x_scale = quantize_activation(x, act_scale)
     y = jax.lax.conv_general_dilated(
         x_q, w_q, strides, padding,
         dimension_numbers=_dn(x.shape, w_q.shape),
@@ -243,12 +241,7 @@ def _int8_dot_impl(x, kernel, act_scale=None):
     w_absmax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=0)
     w_scale = jnp.maximum(w_absmax, 1e-8) / 127.0
     w_q = jnp.round(kernel.astype(jnp.float32) / w_scale).astype(jnp.int8)
-    x_f = x.astype(jnp.float32)
-    if act_scale is None:
-        x_scale = jnp.maximum(jnp.max(jnp.abs(x_f)), 1e-8) / 127.0
-    else:
-        x_scale = jnp.float32(act_scale)
-    x_q = jnp.clip(jnp.round(x_f / x_scale), -127, 127).astype(jnp.int8)
+    x_q, x_scale = quantize_activation(x, act_scale)
     y = jax.lax.dot_general(
         x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)

@@ -291,3 +291,17 @@ def test_make_loader_injects_process_shard(monkeypatch):
     monkeypatch.setattr(jax, "process_index", lambda: 0)
     ld = make_loader(ds, 4)
     assert ld.num_shards == 1
+
+
+def test_random_color_map_reference_palette():
+    """Seeded palette must match the reference's exact construction
+    (np.random.RandomState(20).randint(..., dtype=uint8) — the dtype
+    argument changes WHERE the MT19937 stream is consumed, so astype()
+    produces a different palette; reference kitti.py:22-27)."""
+    from ldmseg_tpu.ops.color import random_color_map
+    cmap = random_color_map(20, seed=20)
+    assert cmap.dtype == np.uint8 and cmap.shape == (20, 3)
+    ref = np.random.RandomState(20).randint(0, 256, (20, 3),
+                                            dtype=np.uint8)
+    np.testing.assert_array_equal(cmap, ref)
+    np.testing.assert_array_equal(cmap[0], [99, 189, 143])

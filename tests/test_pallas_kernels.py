@@ -511,6 +511,40 @@ def test_bilinear_upsample_2x_matches_resize():
                                atol=1e-5)
 
 
+def test_resize_weight_matrix_matches_jax_resize():
+    """x @ resize_weight_matrix(n, m) == jax.image.resize along that
+    axis (triangle kernel, antialias, half-pixel centers) for both up-
+    and downsampling — guards the full-res eval path's bucketed-einsum
+    resize (trainer_ldm._eval_fullres)."""
+    from ldmseg_tpu.ops.resize import resize_weight_matrix
+    rng = np.random.RandomState(0)
+    for n, m in [(24, 96), (80, 320), (96, 24), (320, 80), (17, 40),
+                 (40, 17)]:
+        x = jnp.asarray(rng.randn(3, n), jnp.float32)
+        ref = np.asarray(jax.image.resize(x, (3, m), "linear",
+                                          antialias=True))
+        out = np.asarray(x) @ resize_weight_matrix(n, m)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5), (n, m)
+
+
+def test_fused_gn_dispatchers_fall_back_on_cpu():
+    """group_norm_silu / gn_silu_conv dispatch must route to the XLA
+    reference on the CPU backend even when the tile fits in VMEM
+    (compiled pallas_call cannot lower on the CPU test mesh)."""
+    from ldmseg_tpu.ops.pallas.groupnorm_silu import group_norm_silu
+    from ldmseg_tpu.ops.pallas.gn_silu_conv import gn_silu_conv
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 8, 32), jnp.float32)
+    sc = jnp.asarray(1.0 + 0.1 * rng.randn(32), jnp.float32)
+    bi = jnp.asarray(0.1 * rng.randn(32), jnp.float32)
+    out = group_norm_silu(x, sc, bi, groups=8)  # small tile: would have
+    assert np.isfinite(np.asarray(out)).all()   # hit pallas before fix
+    w = jnp.asarray(rng.randn(3, 3, 32, 16) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(16) * 0.1, jnp.float32)
+    out2 = gn_silu_conv(x, sc, bi, w, b, groups=8)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
 def test_convtranspose2x_matches_flax():
     """Pixel-shuffle ConvTranspose2x == nn.ConvTranspose((2,2),s2,VALID)
     on the SAME params (bit-exact; used in SegVAE decoder + upscaler)."""
