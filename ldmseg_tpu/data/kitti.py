@@ -72,7 +72,14 @@ class KittiDVPS:
         keep_fullres_gt: bool = False,
         seed: int = 0,
         normalize_params: Optional[dict] = None,
+        image_only: bool = False,
     ):
+        # image_only: index frames that have ONLY the RGB PNG (no GT /
+        # depth required) — deployment-mode inference on unlabeled video.
+        # Samples then carry image + mask(=1) + depth(0 if absent) + meta;
+        # sample_panoptic needs nothing else (the reference sampler also
+        # consumes only RGB latents, trainers_ldm_cond.py:1234-1242).
+        self.image_only = image_only
         # keep_fullres_gt: carry original-resolution remapped GT in meta
         # so eval can restore each prediction to its own im_size
         # (reference compute_pq, trainers_ldm_cond.py:1264-1284)
@@ -108,13 +115,14 @@ class KittiDVPS:
                                         mode="random_local")
         from .base import get_metadata
         self.meta_data = get_metadata(num_classes, root=prefix)
-        self.samples = self._index(os.path.join(prefix, split))
+        self.samples = self._index(os.path.join(prefix, split),
+                                   image_only=image_only)
         self._scene_tables: dict = {}
 
     @staticmethod
-    def _index(image_dir: str) -> list:
+    def _index(image_dir: str, image_only: bool = False) -> list:
         """Group files into complete (rgb, class, instance, depth) frames
-        (kitti.py:155-194)."""
+        (kitti.py:155-194); ``image_only`` keeps RGB-only frames."""
         table: dict = {}
         if not os.path.isdir(image_dir):
             return []
@@ -134,10 +142,11 @@ class KittiDVPS:
             table.setdefault(scene, {}).setdefault(frame, {})[typ] = \
                 os.path.join(image_dir, file)
         samples = []
+        need = ("leftImg8bit",) if image_only else (
+            "leftImg8bit", "class", "instance", "depth")
         for scene in table.values():
             for frame in scene.values():
-                if all(k in frame for k in
-                       ("leftImg8bit", "class", "instance", "depth")):
+                if all(k in frame for k in need):
                     samples.append(frame)
         return samples
 
@@ -168,6 +177,33 @@ class KittiDVPS:
 
         image = resize_rgb(rgb_img, self.size, box=box)
         image = normalize_imagenet(image, self.norm_mean, self.norm_std)
+
+        if "class" not in paths:
+            # image-only frame (deployment inference): no GT to load.
+            # depth/focal ride along when the file exists (pose-warped
+            # clip sampling can still run on unlabeled video).
+            scene, frame = self.scene_frame(idx)
+            depth = (resize_depth(Image.open(paths["depth"]), self.size,
+                                  box=box) if "depth" in paths
+                     else np.zeros((h, w), np.float32))
+            focal = None
+            if "depth" in paths:
+                m = _DEPTH_RE.search(os.path.basename(paths["depth"]))
+                focal = float(m.group(1)) if m else None
+            return {
+                "image": image,
+                "mask": np.ones((h, w), dtype=np.uint8),
+                "depth": depth,
+                "text": "",
+                "meta": {
+                    "im_size": (rgb_img.size[1], rgb_img.size[0]),
+                    "image_file": paths["leftImg8bit"],
+                    "image_id": scene * 10000 + frame,
+                    "scene": scene,
+                    "frame": frame,
+                    "focal": focal,
+                },
+            }
 
         sem_raw = resize_label(Image.open(paths["class"]), self.size,
                                box=box)

@@ -153,6 +153,7 @@ class ImageVAE(nn.Module):
     out_channels: int = 3
     scaling_factor: float = 0.18215
     decoder_enabled: bool = True
+    groups: int = 32  # GN groups; shrink along with block_out_channels
     use_fused_attention: bool = False
     use_int8: bool = False  # s8 MXU encoder resnet convs (inference-only)
     int8_act_scale: float | None = None
@@ -160,6 +161,7 @@ class ImageVAE(nn.Module):
     def setup(self):
         self.encoder = VAEEncoder(
             self.block_out_channels, self.latent_channels,
+            groups=self.groups,
             use_fused_attention=self.use_fused_attention,
             use_int8=self.use_int8, int8_act_scale=self.int8_act_scale,
             name="encoder")
@@ -171,6 +173,7 @@ class ImageVAE(nn.Module):
             self.decoder = VAEDecoder(self.block_out_channels,
                                       self.latent_channels,
                                       out_channels=self.out_channels,
+                                      groups=self.groups,
                                       name="decoder")
 
     def encode(self, x: jnp.ndarray) -> DiagonalGaussian:

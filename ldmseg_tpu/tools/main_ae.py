@@ -34,7 +34,10 @@ DATASET_PRESETS = {
 }
 
 
-def build_datasets(cfg: dict, prefix: str | None):
+def build_datasets(cfg: dict, prefix: str | None,
+                   val_kwargs: dict | None = None):
+    """``val_kwargs`` extends the val dataset only (e.g.
+    ``image_only=True`` for GT-free prediction); synthetic ignores it."""
     from ldmseg_tpu.data import get_dataset
     name = cfg["train_db_name"]
     size = (cfg["transformation_kwargs"]["size"],
@@ -59,7 +62,7 @@ def build_datasets(cfg: dict, prefix: str | None):
                             flip=cfg["transformation_kwargs"].get(
                                 "flip", True), **kwargs)
         val = get_dataset(cfg["val_db_name"], prefix=prefix, split="val",
-                          **kwargs)
+                          **kwargs, **(val_kwargs or {}))
     return train, val
 
 

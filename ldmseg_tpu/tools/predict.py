@@ -49,13 +49,17 @@ def main(argv=None):
     # sample with the pose-warped refinement (stage-3; needs
     # pose_model_kwargs.pretrained_path)
     clip_len = overrides.pop("clips", None)
+    # GT-free prediction on unlabeled frames (only *_leftImg8bit.png
+    # present) — the deployment mode; synthetic data ignores this
+    image_only = bool(overrides.pop("image_only", False))
 
     cfg = load_config(None)
     cfg = merge_dicts(cfg, DATASET_PRESETS.get(dataset, {}))
     cfg = merge_dicts(cfg, overrides)
     os.makedirs(out_dir, exist_ok=True)
 
-    _, val_ds = build_datasets(cfg, prefix)
+    _, val_ds = build_datasets(
+        cfg, prefix, val_kwargs={"image_only": True} if image_only else None)
     if clip_len:
         from ldmseg_tpu.data.video import ClipDataset
         val_ds = ClipDataset(val_ds, clip_len=int(clip_len),
@@ -106,7 +110,9 @@ def main(argv=None):
             batch = flatten_clip_batch(batch)
         else:
             logits, _ = trainer.sample_panoptic(batch, sub)
-        h, w = batch["semseg"].shape[1:3]
+        # model-res output size from the RGB frames: GT keys may be
+        # absent entirely (image_only mode)
+        h, w = batch["image"].shape[-3:-1]
         logits = jax.image.resize(
             logits, (logits.shape[0], h, w, logits.shape[-1]), "linear")
         cleaned, _ = panoptic_post_process(

@@ -52,7 +52,15 @@ class TrainerDiffusion:
         vk.pop("pretrained_path", None)
         vk["block_out_channels"] = tuple(vk["block_out_channels"])
         self.vae_seg = SegVAE(**vk)
-        self.vae_img = ImageVAE(decoder_enabled=False)
+        # frozen RGB VAE: SD AutoencoderKL-sized by default (the
+        # reference loads the pretrained SD VAE, main_ldm.py:165-169);
+        # image_vae_kwargs shrinks it for smoke tests/dryruns where the
+        # full 512-channel encoder dominates compile time
+        ivk = dict(p.get("image_vae_kwargs") or {})
+        ivk.setdefault("decoder_enabled", False)
+        if "block_out_channels" in ivk:
+            ivk["block_out_channels"] = tuple(ivk["block_out_channels"])
+        self.vae_img = ImageVAE(**ivk)
         self.seg_scale = vk.get("scaling_factor", 0.2)
         self.img_scale = p.get("image_scaling_factor", 0.18215)
         self.num_classes = vk["out_channels"]
@@ -167,6 +175,11 @@ class TrainerDiffusion:
                 attention_heads=unet_config.attention_head_dim))
         else:
             self.unet_infer = self.unet
+        # int8 act-scale state: calibrate_int8 fills these; pretrained
+        # (resumed/imported) weights must not silently sample with the
+        # global default scales (see _ensure_int8_ready)
+        self._int8_act_scales = None
+        self._params_pretrained = False
 
         self.mesh = mesh if mesh is not None else make_mesh()
         # spatial parallelism: H-shard the full-res VAE stages over the
@@ -213,6 +226,7 @@ class TrainerDiffusion:
         self.best_pq = -1.0
 
         self._encode = jax.jit(self._encode_impl)
+        self._encode_rgb = jax.jit(self._encode_rgb_impl)
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0,))
         self._context = jax.jit(self._context_impl)
@@ -232,6 +246,10 @@ class TrainerDiffusion:
         # clip batches are [B, T, H, W, 3]
         h, w = img.shape[2:4] if img.ndim == 5 else img.shape[1:3]
         f = 8
+        if unet_params is not None:
+            # adopted (imported/handed-off) weights count as pretrained
+            # for the int8 act-scale guard (_ensure_int8_ready)
+            self._params_pretrained = True
         key = jax.random.key(seed)
         k1, k2, k3 = jax.random.split(key, 3)
         if vae_img_params is None:
@@ -239,7 +257,11 @@ class TrainerDiffusion:
                 self.vae_img.init, method=ImageVAE.encode))(
                 {"params": k1}, jnp.zeros((1, h, w, 3)))
         if vae_seg_params is None:
-            bits = sample_batch["image_semseg"].shape[-1]
+            # image-only batches (RGB-only inference) carry no bit
+            # encoding; the seg-VAE input width comes from its config
+            bits = (sample_batch["image_semseg"].shape[-1]
+                    if "image_semseg" in sample_batch
+                    else self.vae_seg.in_channels)
             vae_seg_params = jax.jit(
                 functools.partial(self.vae_seg.init,
                                   sample_posterior=False))(
@@ -341,19 +363,9 @@ class TrainerDiffusion:
         latents_mean = post_seg.mode() * self.seg_scale
 
         # RGB path runs in the compute dtype (fp16 VAE in the reference,
-        # main_ldm.py:165-169 -> bf16 here)
-        rgb = 2.0 * _unnormalize_to01(
-            batch["image"]).astype(self.compute_dtype) - 1.0
-        if self.spatial_parallel:
-            from ..parallel.sp import spatial_constraint
-            rgb = spatial_constraint(rgb, self.mesh)
-        post_rgb = self.vae_img.apply(frozen["vae_img"], rgb,
-                                      method=ImageVAE.encode)
-        if self.sample_posterior_rgb:
-            rgb_latents = post_rgb.sample(k_rgb)
-        else:
-            rgb_latents = post_rgb.mode()
-        rgb_latents = rgb_latents.astype(jnp.float32) * self.img_scale
+        # main_ldm.py:165-169 -> bf16 here); shared with RGB-only
+        # inference (_encode_rgb_impl applies its own spatial layout)
+        rgb_latents = self._encode_rgb_impl(frozen, batch["image"], k_rgb)
 
         loss_mask = self._loss_weight_mask(batch, latents.shape[1:3])
         if self.spatial_parallel:
@@ -364,6 +376,27 @@ class TrainerDiffusion:
             latents_mean = batch_constraint(latents_mean, self.mesh)
             rgb_latents = batch_constraint(rgb_latents, self.mesh)
         return latents, latents_mean, rgb_latents, loss_mask
+
+    def _encode_rgb_impl(self, frozen, image, key):
+        """RGB-only encode: bare frames -> scaled RGB latents.
+
+        The sampler consumes ONLY the RGB latents (reference
+        trainers_ldm_cond.py:1234-1242), so deployment-mode inference on
+        unlabeled video must not require any GT keys; this is the encode
+        path :meth:`sample_panoptic` uses."""
+        rgb = 2.0 * _unnormalize_to01(
+            image).astype(self.compute_dtype) - 1.0
+        if self.spatial_parallel:
+            from ..parallel.sp import spatial_constraint
+            rgb = spatial_constraint(rgb, self.mesh)
+        post = self.vae_img.apply(frozen["vae_img"], rgb,
+                                  method=ImageVAE.encode)
+        lat = post.sample(key) if self.sample_posterior_rgb else post.mode()
+        lat = lat.astype(jnp.float32) * self.img_scale
+        if self.spatial_parallel:
+            from ..parallel.sp import batch_constraint
+            lat = batch_constraint(lat, self.mesh)
+        return lat
 
     def _loss_weight_mask(self, batch, latent_hw):
         """get_loss_weight_mask (:621-663): 'ignore' / 'counts' /
@@ -672,6 +705,42 @@ class TrainerDiffusion:
         self.metrics.log_image(step, "train_panel", path)
         return out
 
+    def log_images_val(self, batch: dict, logits, identifier: str = ""):
+        """Eval-time overview strip (reference ``log_images_val``,
+        trainers_ldm_cond.py:1378-1438): columns = val images, rows =
+        RGB / GT / sampled prediction (+ inpainting mask when present).
+        GT rows are skipped for RGB-only batches."""
+        from ..utils.visualization import save_val_overview
+        img = np.asarray(batch["image"])
+        h, w = img.shape[1:3]
+        lg = jax.image.resize(
+            jnp.asarray(logits, jnp.float32),
+            (logits.shape[0], h, w, logits.shape[-1]), "linear")
+        pred = np.asarray(jnp.argmax(lg, axis=-1))
+        path = os.path.join(self.results_folder,
+                            f"overview{identifier}.png")
+        save_val_overview(
+            path, img,
+            np.asarray(batch["semseg"]) if "semseg" in batch else None,
+            pred,
+            inpainting=(np.asarray(batch["inpainting_mask"])
+                        if "inpainting_mask" in batch else None))
+        step = int(self.state.step) if self.state is not None else 0
+        self.metrics.log_image(step, "val_overview", path)
+        return path
+
+    def visualize_noise_schedule(self, seed: int = 42):
+        """Noise one val bits map at strided timesteps and write the
+        decoded strip (reference ``visualize_noise_schedule``,
+        trainers_ldm_cond.py:1625-1660)."""
+        from ..utils.visualization import noise_schedule_panel
+        ds = self.ds_val if self.ds_val is not None else self.ds
+        sample = ds[0]
+        path = os.path.join(self.results_folder, "noise_schedule.jpg")
+        return noise_schedule_panel(
+            path, self.sched, np.asarray(sample["image_semseg"]),
+            seed=seed)
+
     def _eval_during_training(self, step: int, eval_kw: dict):
         """Periodic in-training eval (reference train_loop evaluates at
         step 0 and every ``eval_every``, keeping the best-PQ snapshot,
@@ -790,13 +859,13 @@ class TrainerDiffusion:
         Samples with the EMA shadow params when ``ema_on`` (reference
         evaluates EMAModelCPU weights, unet.py:443-459) and applies CFG
         when the descriptor produces a context and ``guidance_scale != 1``.
+
+        Needs only ``batch['image']`` (+ caption keys for text
+        descriptors): inference runs on unlabeled frames, exactly like
+        the reference sampler (trainers_ldm_cond.py:1234-1242).
         """
-        _, _, rgb_latents, _ = self._encode(self.frozen_params, {
-            "image": jnp.asarray(batch["image"]),
-            "image_semseg": jnp.asarray(batch["image_semseg"]),
-            "semseg": jnp.asarray(batch["semseg"]),
-            "mask": jnp.asarray(batch["mask"]),
-        }, key)
+        rgb_latents = self._encode_rgb(
+            self.frozen_params, jnp.asarray(batch["image"]), key)
         db = self._device_batch(batch)
         context = self._context(self.frozen_params, db)
         gs = self.guidance_scale if guidance_scale is None else \
@@ -805,6 +874,7 @@ class TrainerDiffusion:
             if gs != 1.0 else None
         eval_params = self.state.eval_params()
         if self.int8_inference:
+            self._ensure_int8_ready(batch, key)
             # one device pass re-quantizing weights, amortized over the
             # 50-step scan
             eval_params = self._prequant(eval_params)
@@ -957,6 +1027,7 @@ class TrainerDiffusion:
                     (batch["image"].shape[0],), 707.0, jnp.float32)
         eval_params = self.state.eval_params()
         if self.int8_inference:
+            self._ensure_int8_ready(batch, key)
             eval_params = self._prequant(eval_params)
         return self._sample_clip(
             eval_params, self.frozen_params, db, key,
@@ -968,6 +1039,32 @@ class TrainerDiffusion:
             refine_strength=refine_strength, warp_blend=warp_blend,
             guidance_scale=gs)
 
+    def _ensure_int8_ready(self, batch: dict, key):
+        """Guard the int8 sampling path on trained weights.
+
+        Random-init params are accuracy-gated with the global default
+        act scales (tests/test_int8_inference.py), but on pretrained
+        weights (resumed or imported checkpoints) per-site activation
+        ranges spread and the global 0.05/0.1 defaults silently degrade
+        accuracy (BENCH_NOTES r3). Default: auto-calibrate once on the
+        first inference batch (``sampling_kwargs.int8_auto_calibrate``);
+        opting out without scales is a hard error."""
+        if self._int8_act_scales is not None or \
+                not self._params_pretrained:
+            return
+        if self.p["sampling_kwargs"].get("int8_auto_calibrate", True):
+            img = np.asarray(batch["image"])
+            if img.ndim == 5:  # clip batch: calibrate on the frames
+                img = img.reshape((-1,) + img.shape[2:])
+            print("int8 inference on pretrained weights: calibrating "
+                  "per-site activation scales on this batch")
+            self.calibrate_int8({"image": img}, key)
+        else:
+            raise RuntimeError(
+                "int8_inference=True on pretrained weights without "
+                "calibrated activation scales: call calibrate_int8() "
+                "or leave sampling_kwargs.int8_auto_calibrate enabled")
+
     def calibrate_int8(self, batch: dict, key=None,
                        percentile: Optional[float] = None) -> dict:
         """Measure per-site static int8 activation scales on a real batch
@@ -978,9 +1075,9 @@ class TrainerDiffusion:
         from ..ops.quant import calibrate_act_scale_tree, apply_act_scales
         assert self.int8_inference, "int8 inference not enabled"
         key = key if key is not None else jax.random.key(0)
-        _, _, rgb_latents, _ = self._encode(self.frozen_params, {
-            k: jnp.asarray(batch[k]) for k in
-            ("image", "image_semseg", "semseg", "mask")}, key)
+        # calibration only needs RGB latents — works on unlabeled frames
+        rgb_latents = self._encode_rgb(
+            self.frozen_params, jnp.asarray(batch["image"]), key)
         b, lh, lw, _ = rgb_latents.shape
         noisy = jax.random.normal(key, (b, lh, lw, 4))
         inp = jnp.concatenate(
@@ -1012,8 +1109,16 @@ class TrainerDiffusion:
     def compute_pq(self, num_inference_steps: Optional[int] = None,
                    max_batches: Optional[int] = None,
                    thing_ids=frozenset(), save_model: bool = False,
-                   seed: int = 0) -> dict:
-        """Sampled-segmentation PQ on the val set (:1185-1375)."""
+                   seed: int = 0,
+                   log_images: Optional[bool] = None) -> dict:
+        """Sampled-segmentation PQ on the val set (:1185-1375).
+
+        ``log_images`` (default ``eval_kwargs.log_images``) writes the
+        reference-style overview strip for the first val batch
+        (``log_images_val``)."""
+        if log_images is None:
+            log_images = bool(self.p["eval_kwargs"].get("log_images",
+                                                        False))
         from ..data import make_loader
         from ..evals import PanopticEvaluator
         from ..ops import panoptic_post_process
@@ -1028,6 +1133,11 @@ class TrainerDiffusion:
             key, sub = jax.random.split(key)
             logits, _ = self.sample_panoptic(
                 batch, sub, num_inference_steps=num_inference_steps)
+            if log_images and i == 0:
+                step = int(self.state.step) if self.state is not None \
+                    else 0
+                self.log_images_val(batch, logits,
+                                    identifier=f"_val{step}")
             metas = batch.get("meta")
             if metas and all("gt_sem" in m for m in metas):
                 # per-image original-size restore (reference upsamples,
@@ -1195,6 +1305,9 @@ class TrainerDiffusion:
             ema_params=restored.get("ema_params",
                                     self.state.ema_params))
         self.best_pq = float(restored.get("best_pq", self.best_pq))
+        # trained weights: int8 sampling must not use the global default
+        # act scales silently (see _ensure_int8_ready)
+        self._params_pretrained = True
         print(f"Resumed from {path} at step {int(self.state.step)}")
         return path
 

@@ -47,6 +47,48 @@ def save_train_panel(
     return path
 
 
+def save_val_overview(
+    path: str,
+    rgbs: np.ndarray,
+    gt_segs: np.ndarray | None,
+    pred_segs: np.ndarray,
+    inpainting: np.ndarray | None = None,
+) -> str:
+    """Eval-time overview strip (reference ``log_images_val``,
+    trainers_ldm_cond.py:1411-1438): columns = the batch's images with a
+    2%% gap, stacked rows = RGB / GT / generated (+ inpainting mask when
+    given). GT may be None (RGB-only prediction)."""
+    n, h, w = pred_segs.shape[:3]
+    off = max(1, int(0.02 * h))
+
+    def row(panels):
+        canvas = np.zeros((h, n * (w + off), 3), np.uint8)
+        ptr = 0
+        for p in panels:
+            canvas[:, ptr:ptr + w] = p
+            ptr += w + off
+        return canvas
+
+    rows = [row([(np.clip(denormalize_imagenet(np.asarray(r)), 0, 1)
+                  * 255).astype(np.uint8) for r in rgbs[:n]])]
+    if gt_segs is not None:
+        rows.append(row([panoptic_to_rgb(np.asarray(g))
+                         for g in gt_segs[:n]]))
+    rows.append(row([panoptic_to_rgb(p) for p in pred_segs[:n]]))
+    if inpainting is not None:
+        masks = []
+        for m in inpainting[:n]:
+            m8 = (np.asarray(m, np.float32) * 255).astype(np.uint8)
+            m8 = np.asarray(Image.fromarray(m8).resize((w, h),
+                                                       Image.NEAREST))
+            masks.append(np.repeat(m8[..., None], 3, axis=-1))
+        rows.append(row(masks))
+    panel = stack_panels(rows)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(panel).save(path)
+    return path
+
+
 def noise_schedule_panel(
     path: str,
     sched,
