@@ -8,12 +8,15 @@ On CPU the fused pass uses the XLA fallback — identical quantization
 math, so this gates the numerics the TPU kernel implements.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ldmseg_tpu.models import UNet2DCondition, UNetConfig
 from ldmseg_tpu.diffusion import make_ddim_schedule, ddim_sample
+
+pytestmark = pytest.mark.slow
 
 BASE = dict(in_channels=8, out_channels=4,
             block_out_channels=(16, 32, 32, 64), layers_per_block=1,
@@ -446,3 +449,68 @@ def test_calibrated_transformer_scales_fused_norms():
     assert rel(y_cal) <= rel(y_glob) * 1.05, (rel(y_cal), rel(y_glob))
     corr = np.corrcoef(yb.ravel(), y_cal.ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_int8_auto_calibration_on_imported_weights(tmp_path):
+    """int8 sampling on IMPORTED (pretrained) weights must not silently
+    use the global default act scales: the first sampling call
+    auto-calibrates per-site scales through the torch-import path, and
+    opting out of auto-calibration without scales fails loudly."""
+    import pytest
+    from ldmseg_tpu.data import SyntheticDVPS, Loader
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+    from ldmseg_tpu.utils.config import DEFAULT_CONFIG, merge_dicts
+    from ldmseg_tpu.models.torch_export import unet_sd_from_params
+    from ldmseg_tpu.models.torch_import import unet_params_from_sd
+
+    small = merge_dicts(DEFAULT_CONFIG, {
+        "vae_model_kwargs": {
+            "in_channels": 10, "int_channels": 32, "out_channels": 32,
+            "block_out_channels": [8, 16, 16, 32], "num_upscalers": 2,
+            "upscale_channels": 32, "norm_num_groups": 8,
+        },
+        "train_kwargs": {"batch_size": 4, "train_num_steps": 1,
+                         "weight_dtype": "bfloat16"},
+        "sampling_kwargs": {"num_inference_steps": 2},
+        "ignore_label": 0,
+    })
+    ucfg = UNetConfig(in_channels=8, out_channels=4,
+                      block_out_channels=(16, 32), layers_per_block=1,
+                      attention_head_dim=2, norm_num_groups=8,
+                      attn_down=(True, True), use_cross_attention=False)
+    ds = SyntheticDVPS(length=4, size=(64, 128), num_classes=20)
+    batch = next(iter(Loader(ds, 4, shuffle=False)))
+
+    # source run (bf16): its params round-trip through the torch
+    # checkpoint layout, standing in for a reference training run
+    tr_src = TrainerDiffusion(small, unet_config=ucfg,
+                              results_folder=str(tmp_path / "src"))
+    tr_src.init_state(batch, seed=0)
+    sd = unet_sd_from_params(jax.device_get(tr_src.state.params), ucfg)
+    imported = unet_params_from_sd(sd, ucfg)
+    logits_bf, _ = tr_src.sample_panoptic(batch, jax.random.key(0),
+                                          num_inference_steps=2)
+
+    cfg_i8 = merge_dicts(small,
+                         {"sampling_kwargs": {"int8_inference": True}})
+    tr = TrainerDiffusion(cfg_i8, unet_config=ucfg,
+                          results_folder=str(tmp_path / "i8"))
+    tr.init_state(batch, seed=0, unet_params=imported)
+    assert tr._params_pretrained and tr._int8_act_scales is None
+    logits_i8, _ = tr.sample_panoptic(batch, jax.random.key(0),
+                                      num_inference_steps=2)
+    # auto-calibration ran and produced per-site scales
+    assert tr._int8_act_scales
+    corr = np.corrcoef(np.asarray(logits_bf, np.float32).ravel(),
+                       np.asarray(logits_i8, np.float32).ravel())[0, 1]
+    assert corr > 0.98, corr
+
+    # opting out without scales must fail loudly, not sample silently
+    cfg_no = merge_dicts(cfg_i8, {"sampling_kwargs":
+                                  {"int8_auto_calibrate": False}})
+    tr2 = TrainerDiffusion(cfg_no, unet_config=ucfg,
+                           results_folder=str(tmp_path / "i8no"))
+    tr2.init_state(batch, seed=0, unet_params=imported)
+    with pytest.raises(RuntimeError, match="int8"):
+        tr2.sample_panoptic(batch, jax.random.key(0),
+                            num_inference_steps=2)
