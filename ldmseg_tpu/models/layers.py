@@ -40,6 +40,15 @@ class GroupNormSiLU(nn.Module):
     eps: float = 1e-6
     use_pallas: bool = False
     quantize: bool = False  # emit (int8, per-image scale); inference only
+    # inference-only low-precision mode: stats ACCUMULATE in f32 but the
+    # tensor is never materialized in f32 — the convert+center+square
+    # chain fuses into the reduction reading bf16, and the normalize
+    # applies as a per-(image,channel) bf16 affine. Halves the HBM
+    # traffic of the GN producer chains feeding the s8 convs (the
+    # `convert_reduce_fusion` trace hotspot, BENCH_NOTES r3); below the
+    # int8 path's own quant noise. Training keeps the f32 path (torch
+    # numerics parity).
+    lowp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -55,6 +64,18 @@ class GroupNormSiLU(nn.Module):
             return group_norm_silu(x, scale, bias, self.groups, self.eps)
         cg = c // self.groups
         xs = x.shape
+        if self.lowp and x.dtype != jnp.float32:
+            xr = x.reshape(xs[0], -1, self.groups, cg)
+            mean = jnp.mean(xr, axis=(1, 3), keepdims=True,
+                            dtype=jnp.float32)
+            var = jnp.mean(jnp.square(xr.astype(jnp.float32) - mean),
+                           axis=(1, 3), keepdims=True)
+            inv = jax.lax.rsqrt(var + self.eps)      # [B,1,G,1] f32
+            w = scale.reshape(1, 1, self.groups, cg) * inv
+            b = bias.reshape(1, 1, self.groups, cg) - mean * w
+            y = x * w.reshape(xs[0], 1, 1, c).astype(x.dtype) \
+                + b.reshape(xs[0], 1, 1, c).astype(x.dtype)
+            return nn.silu(y)
         xf = x.astype(jnp.float32).reshape(xs[0], -1, self.groups, cg)
         mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
         var = jnp.mean((xf - mean) ** 2, axis=(1, 3), keepdims=True)
@@ -97,10 +118,13 @@ class ResnetBlock(nn.Module):
         else:
             Conv3 = nn.Conv
         quant_gn = self.use_int8 and self.int8_fuse_gn
+        # use_int8 marks the inference-only path: its GN producers run
+        # bf16-elementwise with f32-accumulated stats (lowp)
         in_channels = x.shape[-1]
         h = GroupNormSiLU(groups=self.groups, eps=self.eps,
                           use_pallas=self.use_pallas_gn,
-                          quantize=quant_gn, name="norm1")(x)
+                          quantize=quant_gn, lowp=self.use_int8,
+                          name="norm1")(x)
         h = Conv3(self.out_channels, (3, 3), padding=1, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
@@ -109,7 +133,8 @@ class ResnetBlock(nn.Module):
             h = h + t.astype(h.dtype)[:, None, None, :]
         h = GroupNormSiLU(groups=self.groups, eps=self.eps,
                           use_pallas=self.use_pallas_gn,
-                          quantize=quant_gn, name="norm2")(h)
+                          quantize=quant_gn, lowp=self.use_int8,
+                          name="norm2")(h)
         h = Conv3(self.out_channels, (3, 3), padding=1, name="conv2")(h)
         if in_channels != self.out_channels:
             if self.use_conv_shortcut:
