@@ -62,7 +62,12 @@ class TrainerAE:
                 "importance_sample_ratio"],
             ignore_label=self.ignore_label,
             temperature=p["loss_kwargs"]["temperature"],
-            max_masks=p["loss_kwargs"].get("max_masks", self.num_classes),
+            # top_k over the [B, num_classes] histogram: k can never
+            # exceed num_classes (the reference default 128 assumes 128
+            # VAE classes; smaller heads would crash lax.top_k)
+            max_masks=min(p["loss_kwargs"].get("max_masks",
+                                               self.num_classes),
+                          self.num_classes),
         )
         if self.loss_cfg.max_masks < self.num_classes:
             print(f"WARNING: max_masks={self.loss_cfg.max_masks} < "
