@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import signal  # noqa: E402
+
+import pytest  # noqa: E402
 import jax  # noqa: E402
 
 # The axon sitecustomize pre-imports jax with JAX_PLATFORMS=axon; the env
@@ -26,3 +29,25 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # shapes); a persistent cache makes re-runs cheap.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+# Per-test wall-clock cap: one hung compile must not eat a whole round
+# (no pytest-timeout in this image — SIGALRM in the main thread does the
+# same job; big integration tests legitimately take minutes on this
+# 1-CPU VM, hence the generous default).
+TEST_TIMEOUT_S = int(os.environ.get("LDMSEG_TEST_TIMEOUT", "1200"))
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"{item.nodeid} exceeded {TEST_TIMEOUT_S}s "
+            f"(LDMSEG_TEST_TIMEOUT)")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(TEST_TIMEOUT_S)
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

@@ -4,6 +4,7 @@ meta['im_size'] before scoring, trainers_ldm_cond.py:1264-1284,:1175) +
 the evaluator's cross-process synchronization no-op on one process.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -11,6 +12,8 @@ from ldmseg_tpu.evals import PanopticEvaluator
 from ldmseg_tpu.models import UNetConfig
 from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
 from ldmseg_tpu.utils.config import DEFAULT_CONFIG, merge_dicts
+
+pytestmark = pytest.mark.slow
 
 
 def _mini_trainer(tmp_path):

@@ -1,5 +1,6 @@
 """Optimizer chain + mesh/sharding tests (virtual 8-device CPU mesh)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,8 @@ from ldmseg_tpu.train import make_optimizer, make_lr_schedule, TrainState
 from ldmseg_tpu.train.optim import default_unet_lr_factor, is_norm_param
 from ldmseg_tpu.parallel import (
     make_mesh, shard_batch, replicate, zero1_opt_state_sharding)
+
+pytestmark = pytest.mark.slow
 
 
 def test_lr_schedules():

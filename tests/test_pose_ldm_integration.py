@@ -4,6 +4,7 @@ pose-warped clip sampling, DVPQ improvement over per-frame sampling, and
 the stage-3 checkpoint handoff (main_pose -> attach_pose).
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,8 @@ from ldmseg_tpu.data.video import ClipDataset
 from ldmseg_tpu.models import UNetConfig, PoseExpNet
 from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
 from ldmseg_tpu.utils.config import DEFAULT_CONFIG, merge_dicts
+
+pytestmark = pytest.mark.slow
 
 CLIP_T = 3
 

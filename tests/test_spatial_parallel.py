@@ -16,6 +16,8 @@ from ldmseg_tpu.parallel import make_mesh
 from ldmseg_tpu.parallel.sp import (
     spatial_constraint, batch_constraint, has_spatial_axis, spatial_spec)
 
+pytestmark = pytest.mark.slow
+
 CFG = dict(
     in_channels=10,
     int_channels=64,

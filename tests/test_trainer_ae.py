@@ -3,12 +3,15 @@ data over the 8-device CPU mesh, loss decreases, eval + checkpoint
 round-trip. This is the SURVEY §7 step-3 "minimum end-to-end slice".
 """
 
+import pytest
 import numpy as np
 import jax
 
 from ldmseg_tpu.data import SyntheticDVPS
 from ldmseg_tpu.train.trainer_ae import TrainerAE
 from ldmseg_tpu.utils.config import DEFAULT_CONFIG, merge_dicts
+
+pytestmark = pytest.mark.slow
 
 SMALL = merge_dicts(DEFAULT_CONFIG, {
     "vae_model_kwargs": {

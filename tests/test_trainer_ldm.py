@@ -3,6 +3,7 @@ and all loss-mask modes), full sampling pipeline, PQ eval, checkpointing —
 on the 8-device CPU mesh with tiny models.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -11,6 +12,8 @@ from ldmseg_tpu.data import SyntheticDVPS, Loader
 from ldmseg_tpu.models import UNetConfig
 from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
 from ldmseg_tpu.utils.config import DEFAULT_CONFIG, merge_dicts
+
+pytestmark = pytest.mark.slow
 
 SMALL = merge_dicts(DEFAULT_CONFIG, {
     "vae_model_kwargs": {
