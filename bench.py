@@ -177,6 +177,24 @@ def main():
               file=sys.stderr)
         train_sps = None
 
+    # MFU accounting: analytic FLOPs/frame (XLA HLO cost analysis of the
+    # pure-XLA bf16 graphs at bench shapes) anchors the f/s headline to
+    # hardware efficiency (VERDICT r3 item 4)
+    try:
+        flops_frame = _flops_per_frame_subprocess(batch, h, w, lh, lw)
+    except Exception as e:
+        import sys
+        print(f"flops probe failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        flops_frame = None
+    achieved = mfu_bf16 = mfu_int8 = None
+    if flops_frame is not None:
+        achieved = flops_frame * fps / 1e12
+        peak_bf16, peak_int8 = _chip_peaks(jax)
+        if peak_bf16:
+            mfu_bf16 = 100.0 * achieved / peak_bf16
+            mfu_int8 = 100.0 * achieved / peak_int8
+
     baseline = 8.0  # north-star frames/s/chip (BASELINE.json)
     print(json.dumps({
         "metric": "frames_per_sec_per_chip_50step_ddim_256x512",
@@ -187,7 +205,103 @@ def main():
             None if train_sps is None else round(train_sps, 3),
         "dpmpp_2m_20step_frames_per_sec":
             None if dpm_fps is None else round(dpm_fps, 3),
+        "flops_per_frame_tf":
+            None if flops_frame is None else round(flops_frame / 1e12, 3),
+        "achieved_tflops":
+            None if achieved is None else round(achieved, 2),
+        "mfu_bf16_pct": None if mfu_bf16 is None else round(mfu_bf16, 2),
+        "mfu_int8_pct": None if mfu_int8 is None else round(mfu_int8, 2),
     }))
+
+
+def _chip_peaks(jax):
+    """(bf16, int8) peak TFLOP/s per chip by device kind (public specs:
+    v4 275, v5e 197/394, v5p 459/918, v6e 918/1836)."""
+    kind = jax.devices()[0].device_kind
+    table = {
+        "TPU v4": (275.0, 275.0),
+        "TPU v5 lite": (197.0, 394.0),
+        "TPU v5e": (197.0, 394.0),
+        "TPU v5p": (459.0, 918.0),
+        "TPU v5": (459.0, 918.0),
+        "TPU v6 lite": (918.0, 1836.0),
+        "TPU v6e": (918.0, 1836.0),
+    }
+    return table.get(kind, (None, None))
+
+
+def _flops_per_frame_subprocess(batch, h, w, lh, lw) -> float:
+    """Run the analytic FLOPs count on the CPU backend in a subprocess:
+    ``lowered.cost_analysis()`` returns None on the axon/TPU backend,
+    and the in-process platform is pinned to the chip."""
+    import os
+    import subprocess
+    import sys
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import jax.numpy as jnp; import bench; "
+        f"print(bench._analytic_flops_per_frame(jax, jnp, {batch}, {h}, "
+        f"{w}, {lh}, {lw}, jnp.bfloat16))")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       timeout=900, text=True,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr.strip().splitlines()[-1]
+                           if r.stderr.strip() else "subprocess failed")
+    return float(r.stdout.strip().splitlines()[-1])
+
+
+def _analytic_flops_per_frame(jax, jnp, batch, h, w, lh, lw, dtype):
+    """Analytic FLOPs per frame of the 50-step pipeline.
+
+    XLA's HLO cost analysis over the UNOPTIMIZED bf16 graphs (lower()
+    only — no backend compile): 50 UNet denoise forwards + RGB-VAE encode
+    + seg-VAE decode at the bench shapes. The int8/Pallas bench path
+    computes the same conv/attention math, but its custom calls are
+    opaque to the counter, so the count comes from the pure-XLA
+    expression of the same model (use_fused_* off)."""
+    import functools
+    from ldmseg_tpu.models import (
+        SegVAE, ImageVAE, UNet2DCondition, UNetConfig)
+
+    def lowered_flops(fn, *args):
+        return jax.jit(fn).lower(*args).cost_analysis()["flops"]
+
+    def sds(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+
+    key = jax.random.key(0)
+    unet = UNet2DCondition(config=UNetConfig(
+        in_channels=8, use_cross_attention=False,
+        use_fused_attention=False))
+    xs = jax.ShapeDtypeStruct((batch, lh, lw, 8), dtype)
+    ts = jax.ShapeDtypeStruct((batch,), jnp.int32)
+    up = sds(jax.eval_shape(unet.init, key, xs, ts))
+    unet_flops = lowered_flops(unet.apply, up, xs, ts)
+
+    vae_img = ImageVAE(decoder_enabled=False, use_fused_attention=False)
+    rs = jax.ShapeDtypeStruct((batch, h, w, 3), dtype)
+    ip = sds(jax.eval_shape(
+        functools.partial(vae_img.init, method=ImageVAE.encode), key, rs))
+
+    def enc_fn(p, r):  # posterior object is not a jit output type
+        return vae_img.apply(p, r, method=ImageVAE.encode).mode()
+
+    enc_flops = lowered_flops(enc_fn, ip, rs)
+
+    vae_seg = SegVAE(in_channels=16, out_channels=128, num_upscalers=2)
+    zs = jax.ShapeDtypeStruct((batch, lh, lw, 4), dtype)
+    hs = jax.ShapeDtypeStruct((batch, h, w, 16), dtype)
+    sp = sds(jax.eval_shape(
+        functools.partial(vae_seg.init, sample_posterior=False),
+        {"params": key, "sample": key}, hs))
+    def dec_fn(p, z):  # the upscale flag must stay a python static
+        return vae_seg.apply(p, z, True, method=SegVAE.decode)
+
+    dec_flops = lowered_flops(dec_fn, sp, zs)
+
+    return (50.0 * unet_flops + enc_flops + dec_flops) / batch
 
 
 def _train_throughput(jax, jnp, unet, unet_params, batch, lh, lw, dtype,
