@@ -1178,12 +1178,18 @@ class TrainerDiffusion:
         ``jax.image.resize`` parity) contracted on device into a padded
         ``bucket``-rounded canvas, with the out-of-image region excluded
         via ``valid_mask``. Compiles once per bucket shape, not per
-        image; the padding crop folds into the weight matrices."""
+        image; the padding crop folds into the weight matrices.
+
+        Images sharing a bucket shape (the common case — uniform val
+        sets like KITTI/Cityscapes all round to one bucket) are BATCHED
+        into a single device call (per-image weight-matrix stacks,
+        ``group_max`` images per call bounds the f32 canvas), so a val
+        batch costs one restore+post-process launch instead of B
+        host round-trips."""
         from ..ops.resize import resize_weight_matrix
-        c = logits.shape[-1]
         ih, iw = logits.shape[1:3]
+        groups: dict = {}
         for bi, m in enumerate(metas):
-            li = logits[bi:bi + 1]
             t, b_, le, r = m.get("padding") or (0, 0, 0, 0)
             oh, ow = m["gt_sem"].shape
             bh = -(-oh // bucket) * bucket
@@ -1194,20 +1200,32 @@ class TrainerDiffusion:
             wh[t:ih - b_, :oh] = resize_weight_matrix(ih - t - b_, oh)
             ww = np.zeros((iw, bw), np.float32)
             ww[le:iw - r, :ow] = resize_weight_matrix(iw - le - r, ow)
-            valid = np.zeros((1, bh, bw), bool)
+            valid = np.zeros((bh, bw), bool)
             gm = m.get("gt_mask")
-            valid[0, :oh, :ow] = True if gm is None else \
+            valid[:oh, :ow] = True if gm is None else \
                 np.asarray(gm).astype(bool)
-            cleaned = self._fullres_post(li, jnp.asarray(wh),
-                                         jnp.asarray(ww),
-                                         jnp.asarray(valid))
-            ev.add_image(np.asarray(cleaned)[0, :oh, :ow], m["gt_sem"],
-                         m.get("gt_inst"))
+            groups.setdefault((bh, bw), []).append((bi, wh, ww, valid))
+        group_max = 8
+        for items in groups.values():
+            for s in range(0, len(items), group_max):
+                chunk = items[s:s + group_max]
+                idx = np.asarray([it[0] for it in chunk])
+                cleaned = np.asarray(self._fullres_post(
+                    jnp.take(logits, idx, axis=0),
+                    jnp.asarray(np.stack([it[1] for it in chunk])),
+                    jnp.asarray(np.stack([it[2] for it in chunk])),
+                    jnp.asarray(np.stack([it[3] for it in chunk]))))
+                for k, (bi, *_unused) in enumerate(chunk):
+                    m = metas[bi]
+                    oh, ow = m["gt_sem"].shape
+                    ev.add_image(cleaned[k, :oh, :ow], m["gt_sem"],
+                                 m.get("gt_inst"))
 
     @functools.partial(jax.jit, static_argnums=0)
     def _fullres_post(self, li, wh, ww, valid):
         from ..ops import panoptic_post_process
-        resized = jnp.einsum("bhwc,hH,wW->bHWc", li.astype(jnp.float32),
+        resized = jnp.einsum("bhwc,bhH,bwW->bHWc",
+                             li.astype(jnp.float32),
                              wh, ww, precision="highest")
         cleaned, _ = panoptic_post_process(
             resized, mask_th=self.mask_th, count_th=self.count_th,
