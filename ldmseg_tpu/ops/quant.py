@@ -33,6 +33,31 @@ def _dn(lhs_shape, rhs_shape):
         lhs_shape, rhs_shape, ("NHWC", "HWIO", "NHWC"))
 
 
+def _s8_conv(x_q, w_q, strides, padding):
+    """s8 NHWC conv -> s32, with an XLA emitter workaround.
+
+    Cin ≡ 64 (mod 128) — the 960-channel up-path skip concats
+    (640 hidden + 320 skip) — draws a slow conv emitter
+    (EmitOutputBatchInSublanes, ~150-250 TOPS vs 320-395 for the
+    aligned siblings; BENCH_NOTES r4). Splitting the channel
+    contraction at the 128-aligned boundary into two convs (summed —
+    exact by linearity; the lane-aligned slices fuse as views) restores
+    the fast emitter: 0.726 -> 0.475 ms at [16,32,64,960]x[3,3,960,320]
+    on v5e. THE single s8 conv entry point — every int8 conv path
+    routes here."""
+    cin = x_q.shape[-1]
+    conv = functools.partial(
+        jax.lax.conv_general_dilated,
+        window_strides=strides, padding=padding,
+        dimension_numbers=_dn(x_q.shape, w_q.shape),
+        preferred_element_type=jnp.int32)
+    if cin % 128 == 64 and cin > 320:
+        c0 = cin - 320
+        return (conv(x_q[..., :c0], w_q[:, :, :c0]) +
+                conv(x_q[..., c0:], w_q[:, :, c0:]))
+    return conv(x_q, w_q)
+
+
 def _int8_conv_impl(x, w, strides, padding, act_scale=None):
     """s8 x s8 -> s32 conv with per-tensor activation scale (dynamic
     amax, or static when ``act_scale`` is given — a static scale lets the
@@ -41,10 +66,7 @@ def _int8_conv_impl(x, w, strides, padding, act_scale=None):
     channel weight scale; returns x.dtype."""
     w_q, w_scale = quantize_weight(w)
     x_q, x_scale = quantize_activation(x, act_scale)
-    y = jax.lax.conv_general_dilated(
-        x_q, w_q, strides, padding,
-        dimension_numbers=_dn(x.shape, w.shape),
-        preferred_element_type=jnp.int32)
+    y = _s8_conv(x_q, w_q, strides, padding)
     return (y.astype(jnp.float32) * (x_scale * w_scale)).astype(x.dtype)
 
 
@@ -102,10 +124,7 @@ def int8_conv_prequant(q, s, w, strides, padding, out_dtype=jnp.bfloat16):
     per-image activation scale ``s [B]``. No gradient (inference path —
     train with the bf16 graph)."""
     w_q, w_scale = quantize_weight(w)
-    y = jax.lax.conv_general_dilated(
-        q, w_q, strides, padding,
-        dimension_numbers=_dn(q.shape, w.shape),
-        preferred_element_type=jnp.int32)
+    y = _s8_conv(q, w_q, strides, padding)
     scale = s[:, None, None, None] * w_scale
     return (y.astype(jnp.float32) * scale).astype(out_dtype)
 
@@ -230,10 +249,7 @@ def _int8_conv_wq(x, w_q, w_scale, strides, padding, act_scale,
     numerically."""
     out_dtype = x.dtype if out_dtype is None else out_dtype
     x_q, x_scale = quantize_activation(x, act_scale)
-    y = jax.lax.conv_general_dilated(
-        x_q, w_q, strides, padding,
-        dimension_numbers=_dn(x.shape, w_q.shape),
-        preferred_element_type=jnp.int32)
+    y = _s8_conv(x_q, w_q, strides, padding)
     return (y.astype(jnp.float32) * (x_scale * w_scale)).astype(out_dtype)
 
 
@@ -350,10 +366,8 @@ class QuantConv(nn.Module):
             site_scale = kernel.get("x_scale", self.act_scale)
             if prequant:
                 q, s = x
-                y = jax.lax.conv_general_dilated(
-                    q, w_q, tuple(self.strides), pad,
-                    dimension_numbers=_dn(q.shape, w_q.shape),
-                    preferred_element_type=jnp.int32)
+                from . import quant as _q
+                y = _q._s8_conv(q, w_q, tuple(self.strides), pad)
                 scale = s[:, None, None, None] * w_scale
                 y = (y.astype(jnp.float32) * scale).astype(jnp.bfloat16)
             else:
