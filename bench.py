@@ -103,6 +103,14 @@ def main():
         jax.clear_caches()
         gc.collect()
 
+    # prebuild the fused-norms kernels' loop-invariant operands (scale
+    # tiles, head-padded / transposed weights) into the tree — built
+    # in-graph they re-materialize every scan step (round 4)
+    from ldmseg_tpu.ops.quant import pack_inference_tiles
+    unet_params = jax.jit(functools.partial(
+        pack_inference_tiles, attention_heads=8,
+        int8_act_scale=0.05, int8_attn_act_scale=0.1))(unet_params)
+
     sched = make_ddim_schedule(
         beta_schedule="scaled_linear", beta_start=0.00085, beta_end=0.012,
         clip_sample=False, set_alpha_to_one=False)

@@ -239,9 +239,17 @@ class CrossAttention(nn.Module):
             w8 = (flat_qkv(wq8), flat_qkv(wk8), flat_qkv(wv8),
                   wo8.reshape(c, c))
         if ln is not None:
+            # prepacked loop-invariant operands (pack_inference_tiles):
+            # the wrapper then ignores w8/scales on the kernel path and
+            # the tile builds above dead-code eliminate
+            pack = None
+            if isinstance(kq, dict) and "t_wqp" in kq:
+                pack = {"wqp": kq["t_wqp"], "wkp": kk["t_wkp"],
+                        "wvt": kv["t_wvt"], "wo": ko["t_wo"],
+                        "m": ko["t_m"], "g": ko["t_g"], "sc": ko["t_sc"]}
             return absorbed_padded_ln_self_attention_s8(
                 x, ln[0], ln[1], bo, *w8, scales, self.heads, scale,
-                act_scale=xs)
+                act_scale=xs, pack=pack)
         out = absorbed_padded_self_attention_s8(
             x, *w8, scales, self.heads, scale, act_scale=xs)
         return out + bo.astype(out.dtype)
@@ -327,12 +335,18 @@ class FeedForward(nn.Module):
                 # scales): proj_in x_scale = LN3-output range, proj_out
                 # x_scale = gated-interior range (static — kills the
                 # in-kernel amax pass)
+                pack = None
+                if "t_s1" in k1:
+                    # prepacked tiles (pack_inference_tiles): the
+                    # in-wrapper tile builds dead-code eliminate
+                    pack = {"s1t": k1["t_s1"], "sc": k1["t_sc"],
+                            "s2t": k2["t_s2"], "g": k2["t_g"]}
                 return fused_geglu_ln_s8(
                     x, ln[0], ln[1], k1["q"], k1["scale"], b1,
                     k2["q"], k2["scale"], b2,
                     act_scale=k1.get("x_scale",
                                      self.int8_act_scale or 0.05),
-                    g_scale=k2.get("x_scale"))
+                    g_scale=k2.get("x_scale"), pack=pack)
             # raw kernels (tests / non-prequantized trees): same math
             # via the XLA fallback with in-graph weight quantization
             # (per-out-channel, the QuantDense convention)

@@ -957,19 +957,55 @@ def _abs_padded_ln_s8_vt_impl(x, wqp, wkp, wvt8, wo_dq, m, g, sc, heads,
     )(x, wqp, wkp, wvt8, wo_dq, m, g, sc)
 
 
+def pack_padded_ln_vt_tiles(wq8, wk8, wv8, wo8, scales, heads,
+                            softmax_scale, act_scale, ln_scale, ln_bias,
+                            out_bias, attn_scale: float = 0.1):
+    """Build the loop-invariant operands of the padded-LN vt attention
+    kernel (the default fused-norms path): head-padded Q/K weights,
+    pre-transposed V weights, pre-dequantized bf16 to_out weights and
+    the m/g/sc scale tiles.
+
+    Built in-graph these re-materialize every step of the sampling scan
+    (XLA does not hoist out of ``lax.scan``) — ~1 MB of zero+set copies
+    per attention site per step. ``ops.quant.pack_inference_tiles``
+    calls this once outside the scan and stores the result in the param
+    tree; :func:`absorbed_padded_ln_self_attention_s8` consumes it via
+    ``pack=``."""
+    c = wq8.shape[0]
+    d = c // heads
+    wqp, wkp, _wvp, _wop, m, sc = _abs_padded_prep(
+        wq8, wk8, wv8, wo8, scales, heads, act_scale, attn_scale,
+        softmax_scale)
+    sc = sc.at[0, 2].set(jnp.float32(act_scale))
+    sc = sc.at[2, :heads].set(scales[:, 0, 2] * jnp.float32(act_scale))
+    g = jnp.zeros((8, c), jnp.float32)
+    g = g.at[0].set(ln_scale.astype(jnp.float32))
+    g = g.at[1].set(ln_bias.astype(jnp.float32))
+    g = g.at[2].set(out_bias.astype(jnp.float32))
+    wvt8 = wv8.T
+    wo_dq = (wo8.astype(jnp.float32)
+             * jnp.repeat(scales[:, 0, 3], d)[:, None]
+             ).astype(jnp.bfloat16)
+    return {"wqp": wqp, "wkp": wkp, "wvt": wvt8, "wo": wo_dq,
+            "m": m, "g": g, "sc": sc}
+
+
 def absorbed_padded_ln_self_attention_s8(
     x: jnp.ndarray, ln_scale, ln_bias, out_bias,
     wq8, wk8, wv8, wo8, scales,
     heads: int, scale: float, act_scale: float,
     attn_scale: float = 0.1, eps: float = 1e-6, max_seq: int = 2048,
-    v_bf16: bool = True, v_transposed: bool = True,
+    v_bf16: bool = True, v_transposed: bool = True, pack=None,
 ) -> jnp.ndarray:
     """``x + to_out(attn(LN(x)))`` in one fused s8 kernel — the padded
     absorbed kernel plus the block's pre-attention LayerNorm, to_out
     bias and residual add (see the kernel docstring). Same prequantized
     weight storage as :func:`absorbed_padded_self_attention_s8`.
     ``v_bf16`` (default): V/probabilities/to_out in bf16 — faster (the
-    VPU quantize chain dominates the kernel) and more accurate."""
+    VPU quantize chain dominates the kernel) and more accurate.
+    ``pack``: prepacked operands from :func:`pack_padded_ln_vt_tiles`
+    (vt path only); when given, the raw weight/scale args only feed the
+    fallback branch and dead-code eliminate on the kernel path."""
     b, t, c = x.shape
     d = c // heads
 
@@ -991,27 +1027,23 @@ def absorbed_padded_ln_self_attention_s8(
         return (x.astype(jnp.float32) + attn.astype(jnp.float32)
                 + out_bias.astype(jnp.float32)).astype(x.dtype)
 
-    wqp, wkp, wvp, wop, m, sc = _abs_padded_prep(
-        wq8, wk8, wv8, wo8, scales, heads, act_scale, attn_scale, scale)
-    sc = sc.at[0, 2].set(jnp.float32(act_scale))
     if v_transposed and v_bf16:
         # K-major value path (see _attn_kernel_abs_padded_ln_s8_vt):
         # unpadded pre-transposed value weights, unpadded bf16 wo (rows
         # grouped per head), per-head real-unit V scales in sc row 2.
         # Only a refinement of the bf16-V path — an explicit
         # v_bf16=False still selects the pure-s8 V kernel below.
-        g = jnp.zeros((8, c), jnp.float32)
-        g = g.at[0].set(ln_scale.astype(jnp.float32))
-        g = g.at[1].set(ln_bias.astype(jnp.float32))
-        g = g.at[2].set(out_bias.astype(jnp.float32))
-        sc = sc.at[2, :heads].set(scales[:, 0, 2] * jnp.float32(act_scale))
-        wvt8 = wv8.T
-        wo_dq = (wo8.astype(jnp.float32)
-                 * jnp.repeat(scales[:, 0, 3], d)[:, None]
-                 ).astype(jnp.bfloat16)
+        if pack is None:
+            pack = pack_padded_ln_vt_tiles(
+                wq8, wk8, wv8, wo8, scales, heads, scale, act_scale,
+                ln_scale, ln_bias, out_bias, attn_scale)
         return _abs_padded_ln_s8_vt_impl(
-            x, wqp, wkp, wvt8, wo_dq, m, g, sc, heads,
+            x, pack["wqp"], pack["wkp"], pack["wvt"], pack["wo"],
+            pack["m"], pack["g"], pack["sc"], heads,
             eps).astype(x.dtype)
+    wqp, wkp, wvp, wop, m, sc = _abs_padded_prep(
+        wq8, wk8, wv8, wo8, scales, heads, act_scale, attn_scale, scale)
+    sc = sc.at[0, 2].set(jnp.float32(act_scale))
     if v_bf16:
         # real-unit V dequant scales (m row 3) + pre-dequantized bf16 wo
         dp = wqp.shape[-1] // heads

@@ -63,35 +63,81 @@ def _quantize_inner(g, sc_ref, static_g: bool):
     return jnp.round(g / gs).astype(jnp.int8), gs
 
 
+def _ff_interior(x8, xs, w1_ref, w2_ref, s1_ref, sc_ref, *,
+                 static_g: bool, nc: int):
+    """quant-FF core: s8 W1 matmul -> dequant -> h*gelu(gate) -> quant ->
+    s8 W2 matmul, in ``nc`` chunks over the interior dim M.
+
+    Monolithically (nc=1) the MXU sits idle through the whole [BQ, M]
+    VPU gating pass between the two matmuls. Chunking unrolls the chain
+    into nc independent (W1-matmul, gate, W2-matmul) strands so Mosaic's
+    scheduler can overlap chunk k's VPU gating with chunk k±1's MXU
+    matmuls. Standalone micro at T=2048/C=320/M=1280 on v5e: 1.042 ->
+    0.510 ms with PREBUILT scale tiles (nc=4); with in-graph tile
+    builds the gain shrinks to ~4% and measured e2e NEGATIVE (10.31 ->
+    10.06 f/s, BENCH_NOTES r4), so the default stays nc=1 — revisit on
+    top of pack_inference_tiles. h and gate columns are sliced per
+    chunk from the UNCHANGED [C, 2M] weight layout; the W2 contraction
+    accumulates per-chunk partials in f32 (exact: scales are per-chunk).
+    Dynamic-scale mode quantizes per chunk — finer amax granularity
+    than the monolithic kernel, same semantics otherwise.
+
+    Returns yf [BQ, C] f32, scaled by the interior scale(s) but NOT yet
+    by W2's per-channel scale (callers apply ``* s2_ref[0]``)."""
+    m2 = w1_ref.shape[1]
+    m = m2 // 2
+    if nc <= 1 or m % nc != 0:
+        u32 = jax.lax.dot_general(
+            x8, w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)     # [BQ, 2M]
+        u = u32.astype(jnp.float32) * (xs * s1_ref[0]) + s1_ref[1]
+        g = u[:, :m] * _gelu_tanh(u[:, m:])       # [BQ, M]
+        g8, gs = _quantize_inner(g, sc_ref, static_g)
+        y32 = jax.lax.dot_general(
+            g8, w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)     # [BQ, C]
+        return y32.astype(jnp.float32) * gs
+    mc = m // nc
+    yf = jnp.zeros((x8.shape[0], w2_ref.shape[1]), jnp.float32)
+    for k in range(nc):
+        uh = jax.lax.dot_general(
+            x8, w1_ref[:, k * mc:(k + 1) * mc],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        ug = jax.lax.dot_general(
+            x8, w1_ref[:, m + k * mc:m + (k + 1) * mc],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        h = (uh.astype(jnp.float32) * (xs * s1_ref[0, k * mc:(k + 1) * mc])
+             + s1_ref[1, k * mc:(k + 1) * mc])
+        gate = (ug.astype(jnp.float32)
+                * (xs * s1_ref[0, m + k * mc:m + (k + 1) * mc])
+                + s1_ref[1, m + k * mc:m + (k + 1) * mc])
+        g = h * _gelu_tanh(gate)                  # [BQ, Mc]
+        g8, gs = _quantize_inner(g, sc_ref, static_g)
+        y32 = jax.lax.dot_general(
+            g8, w2_ref[k * mc:(k + 1) * mc, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        yf = yf + y32.astype(jnp.float32) * gs
+    return yf
+
+
 def _geglu_kernel(x_ref, w1_ref, w2_ref, s1_ref, s2_ref, sc_ref, o_ref,
-                  *, static_g: bool = False):
+                  *, static_g: bool = False, nc: int = 1):
     x = x_ref[0]                                  # [BQ, C] bf16
     xs = sc_ref[0, 0]
     x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
                   -127, 127).astype(jnp.int8)
-    u32 = jax.lax.dot_general(
-        x8, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)         # [BQ, 2M]
-    u = u32.astype(jnp.float32) * (xs * s1_ref[0]) + s1_ref[1]
-    m = u.shape[-1] // 2
-    h = u[:, :m]
-    gate = u[:, m:]
-    g = h * _gelu_tanh(gate)                      # [BQ, M]
-    g8, gs = _quantize_inner(g, sc_ref, static_g)
-    y32 = jax.lax.dot_general(
-        g8, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)         # [BQ, C]
-    y = y32.astype(jnp.float32) * (gs * s2_ref[0])
-    o_ref[0] = y.astype(o_ref.dtype)
+    yf = _ff_interior(x8, xs, w1_ref, w2_ref, s1_ref, sc_ref,
+                      static_g=static_g, nc=nc)
+    o_ref[0] = (yf * s2_ref[0]).astype(o_ref.dtype)
 
 
-def _geglu_impl(x, w1q, w2q, s1, s2, sc, block_t, static_g=False):
+def _geglu_impl(x, w1q, w2q, s1, s2, sc, block_t, static_g=False, nc=1):
     b, t, c = x.shape
     m2 = w1q.shape[1]
     block_t = min(block_t, t)
     grid = (b, t // block_t)
     return pl.pallas_call(
-        functools.partial(_geglu_kernel, static_g=static_g),
+        functools.partial(_geglu_kernel, static_g=static_g, nc=nc),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_t, c), lambda i, j: (i, j, 0),
@@ -117,7 +163,7 @@ def _geglu_impl(x, w1q, w2q, s1, s2, sc, block_t, static_g=False):
 
 def _geglu_ln_kernel(x_ref, w1_ref, w2_ref, s1_ref, s2_ref, g_ref,
                      sc_ref, o_ref, *, eps: float,
-                     static_g: bool = False):
+                     static_g: bool = False, nc: int = 1):
     """LN3 + GEGLU + proj_out bias + residual in one VMEM pass.
 
     Same math as :func:`_geglu_kernel` with the transformer block's
@@ -132,27 +178,19 @@ def _geglu_ln_kernel(x_ref, w1_ref, w2_ref, s1_ref, s2_ref, g_ref,
     h = xc * jax.lax.rsqrt(var + eps) * g_ref[0] + g_ref[1]
     xs = sc_ref[0, 0]
     x8 = jnp.clip(jnp.round(h / xs), -127, 127).astype(jnp.int8)
-    u32 = jax.lax.dot_general(
-        x8, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)         # [BQ, 2M]
-    u = u32.astype(jnp.float32) * (xs * s1_ref[0]) + s1_ref[1]
-    m = u.shape[-1] // 2
-    g = u[:, :m] * _gelu_tanh(u[:, m:])           # [BQ, M]
-    g8, gs = _quantize_inner(g, sc_ref, static_g)
-    y32 = jax.lax.dot_general(
-        g8, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)         # [BQ, C]
-    y = xf + y32.astype(jnp.float32) * (gs * s2_ref[0]) + g_ref[2]
-    o_ref[0] = y.astype(o_ref.dtype)
+    yf = _ff_interior(x8, xs, w1_ref, w2_ref, s1_ref, sc_ref,
+                      static_g=static_g, nc=nc)
+    o_ref[0] = (xf + yf * s2_ref[0] + g_ref[2]).astype(o_ref.dtype)
 
 
 def _geglu_ln_impl(x, w1q, w2q, s1, s2, g, sc, block_t, eps,
-                   static_g=False):
+                   static_g=False, nc=1):
     b, t, c = x.shape
     block_t = min(block_t, t)
     grid = (b, t // block_t)
     return pl.pallas_call(
-        functools.partial(_geglu_ln_kernel, eps=eps, static_g=static_g),
+        functools.partial(_geglu_ln_kernel, eps=eps, static_g=static_g,
+                          nc=nc),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_t, c), lambda i, j: (i, j, 0),
@@ -192,31 +230,24 @@ def _xla_geglu_ln_s8(x, ln_scale, ln_bias, w1q, w2q, s1, s2, b2,
             + b2.astype(jnp.float32)).astype(x.dtype)
 
 
-def fused_geglu_ln_s8(
-    x: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
-    w1q: jnp.ndarray, s1: jnp.ndarray, b1: jnp.ndarray,
-    w2q: jnp.ndarray, s2: jnp.ndarray, b2: jnp.ndarray,
-    act_scale: float, eps: float = 1e-6, block_t: int = 512,
-    g_scale=None,
-) -> jnp.ndarray:
-    """``x + proj_out(geglu(proj_in(LN(x))))`` in one fused s8 kernel.
+def pack_geglu_ln_tiles(s1, b1, s2, b2, ln_scale, ln_bias, act_scale,
+                        g_scale=None):
+    """Build the loop-invariant VMEM tiles of the fused LN+GEGLU kernel.
 
-    Same weight format as :func:`fused_geglu_s8` plus the block's
-    pre-FF LayerNorm params and the proj_out bias ``b2 [C]`` (both
-    previously applied by separate XLA passes over the full [B, T, C]
-    activation). ``g_scale``: calibrated static scale for the gated
-    interior (skips the per-block amax pass; None keeps dynamic)."""
-    b, t, c = x.shape
-    if (t % 8 != 0 or t % min(block_t, t) != 0
-            or jax.default_backend() == "cpu"):
-        return _xla_geglu_ln_s8(x, ln_scale, ln_bias, w1q, w2q,
-                                jnp.stack([s1, b1.astype(jnp.float32)]),
-                                s2[None], b2, act_scale, eps,
-                                g_scale=g_scale)
+    These tiles depend only on params + calibrated scales, yet when
+    built inside the jitted UNet apply they re-materialize EVERY step of
+    the 50-step sampling scan (XLA does not hoist loop-invariant code
+    out of ``lax.scan``) — ~10 tiny serialized ops per FF site per step.
+    ``ops.quant.pack_inference_tiles`` calls this once, outside the
+    scan, and stores the result in the param tree;
+    :func:`fused_geglu_ln_s8` consumes it via ``pack=``. Rows: s1t
+    0=W1 col scales, 1=proj_in bias; s2t 0=W2 col scales; g 0=LN scale,
+    1=LN bias, 2=proj_out bias; sc [0,0]=x scale, [0,1]=interior scale
+    (0 when dynamic)."""
     s1t = jnp.zeros((8, s1.shape[0]), jnp.float32).at[0].set(
         s1).at[1].set(b1.astype(jnp.float32))
     s2t = jnp.zeros((8, s2.shape[0]), jnp.float32).at[0].set(s2)
-    g = jnp.zeros((8, c), jnp.float32)
+    g = jnp.zeros((8, ln_scale.shape[0]), jnp.float32)
     g = g.at[0].set(ln_scale.astype(jnp.float32))
     g = g.at[1].set(ln_bias.astype(jnp.float32))
     g = g.at[2].set(b2.astype(jnp.float32))
@@ -224,8 +255,39 @@ def fused_geglu_ln_s8(
         jnp.float32(act_scale))
     if g_scale is not None:
         sc = sc.at[0, 1].set(jnp.float32(g_scale))
-    return _geglu_ln_impl(x, w1q, w2q, s1t, s2t, g, sc,
-                          min(block_t, t), eps,
+    return {"s1t": s1t, "s2t": s2t, "g": g, "sc": sc}
+
+
+def fused_geglu_ln_s8(
+    x: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+    w1q: jnp.ndarray, s1: jnp.ndarray, b1: jnp.ndarray,
+    w2q: jnp.ndarray, s2: jnp.ndarray, b2: jnp.ndarray,
+    act_scale: float, eps: float = 1e-6, block_t: int = 512,
+    g_scale=None, pack=None,
+) -> jnp.ndarray:
+    """``x + proj_out(geglu(proj_in(LN(x))))`` in one fused s8 kernel.
+
+    Same weight format as :func:`fused_geglu_s8` plus the block's
+    pre-FF LayerNorm params and the proj_out bias ``b2 [C]`` (both
+    previously applied by separate XLA passes over the full [B, T, C]
+    activation). ``g_scale``: calibrated static scale for the gated
+    interior (skips the per-block amax pass; None keeps dynamic).
+    ``pack``: prepacked tiles from :func:`pack_geglu_ln_tiles` (stored
+    in the tree by ``pack_inference_tiles``); when given, the raw
+    scale/bias/LN args only feed the fallback branch and dead-code
+    eliminate on the kernel path."""
+    b, t, c = x.shape
+    if (t % 8 != 0 or t % min(block_t, t) != 0
+            or jax.default_backend() == "cpu"):
+        return _xla_geglu_ln_s8(x, ln_scale, ln_bias, w1q, w2q,
+                                jnp.stack([s1, b1.astype(jnp.float32)]),
+                                s2[None], b2, act_scale, eps,
+                                g_scale=g_scale)
+    if pack is None:
+        pack = pack_geglu_ln_tiles(s1, b1, s2, b2, ln_scale, ln_bias,
+                                   act_scale, g_scale)
+    return _geglu_ln_impl(x, w1q, w2q, pack["s1t"], pack["s2t"],
+                          pack["g"], pack["sc"], min(block_t, t), eps,
                           static_g=g_scale is not None).astype(x.dtype)
 
 

@@ -76,6 +76,12 @@ if which == "D":
     scales = calibrate_act_scale_tree(unet_bf.apply, p, (xs, ts))
     pq = jax.jit(functools.partial(apply_act_scales, scales=scales))(pq)
     print(f"calibrated {len(scales)} sites")
+if absorbed:
+    # the shipping fused-norms config prepacks the kernels'
+    # loop-invariant operands (bench.py does the same)
+    from ldmseg_tpu.ops.quant import pack_inference_tiles
+    pq = jax.jit(functools.partial(pack_inference_tiles,
+                                   attention_heads=8))(pq)
 x_i8 = sample_with(UNet2DCondition(config=cfg_i8), pq)
 corr = np.corrcoef(x_bf.ravel(), x_i8.ravel())[0, 1]
 rel = np.abs(x_bf - x_i8).mean() / np.abs(x_bf).mean()

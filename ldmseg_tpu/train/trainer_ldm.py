@@ -168,11 +168,23 @@ class TrainerDiffusion:
                 use_padded_attention=fused_norms,
                 use_fused_norms=fused_norms,
                 int8_attn_act_scale=sk.get("int8_attn_act_scale", 0.1)))
-            from ..ops.quant import prequantize_conv_tree
-            self._prequant = jax.jit(functools.partial(
+            from ..ops.quant import (prequantize_conv_tree,
+                                     pack_inference_tiles)
+            self._prequant_base = functools.partial(
                 prequantize_conv_tree, quantize_ff=True,
                 absorbed_attention=fused_norms,
-                attention_heads=unet_config.attention_head_dim))
+                attention_heads=unet_config.attention_head_dim)
+            # prebuild the fused-norms kernels' loop-invariant operands
+            # (scale tiles, padded/transposed weights) into the tree —
+            # in-graph builds re-materialize every sampling-scan step
+            self._pack_tiles = (functools.partial(
+                pack_inference_tiles,
+                attention_heads=unet_config.attention_head_dim,
+                int8_act_scale=sk.get("int8_act_scale", 0.05),
+                int8_attn_act_scale=sk.get("int8_attn_act_scale", 0.1))
+                if fused_norms else (lambda p: p))
+            self._prequant = jax.jit(
+                lambda p: self._pack_tiles(self._prequant_base(p)))
         else:
             self.unet_infer = self.unet
         # int8 act-scale state: calibrate_int8 fills these; pretrained
@@ -1094,9 +1106,11 @@ class TrainerDiffusion:
             functools.partial(self.unet.apply),
             self.state.eval_params(), (inp, t), percentile=percentile)
         self._int8_act_scales = scales
-        base = self._prequant
-        self._prequant = jax.jit(lambda p: apply_act_scales(base(p),
-                                                            scales))
+        # re-compose: quantize -> apply calibrated scales -> THEN pack
+        # tiles (packed operands bake the x_scale values in)
+        base = self._prequant_base
+        self._prequant = jax.jit(lambda p: self._pack_tiles(
+            apply_act_scales(base(p), scales)))
         return scales
 
     def compute_metrics(self, metrics=("pq",), **kw) -> dict:

@@ -1017,3 +1017,127 @@ def test_flash_attention_backward_interpret():
         ref = np.asarray(ref, np.float32)
         rel = np.abs(got - ref).mean() / np.abs(ref).mean()
         assert rel < 0.02, rel
+
+
+def test_pack_padded_ln_vt_tiles_matches_manual():
+    """pack_inference_tiles' attention helper must emit EXACTLY the
+    operands the unpacked vt wrapper builds in-graph (same helper feeds
+    both paths; this pins the packed-tree contract), and the vt kernel
+    consuming the pack must reproduce the manual-tile output."""
+    from ldmseg_tpu.ops.pallas.attention import (
+        _abs_padded_prep, _abs_padded_ln_s8_vt_impl,
+        pack_padded_ln_vt_tiles, quantize_head_weights)
+    b, t, heads, d = 2, 32, 4, 8
+    c = heads * d
+    rng = np.random.RandomState(29)
+    x = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    g1 = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+    bo = jnp.asarray(0.05 * rng.randn(c), jnp.float32)
+    wq, wk, wv, wo = (jnp.asarray(rng.randn(c, c), jnp.float32) * 0.2
+                      for _ in range(4))
+    wq8, wk8, wv8, wo8, scales = quantize_head_weights(wq, wk, wv, wo,
+                                                       heads)
+    flat_qkv = lambda w8: jnp.transpose(  # noqa: E731
+        w8, (1, 0, 2)).reshape(c, c)
+    w8 = (flat_qkv(wq8), flat_qkv(wk8), flat_qkv(wv8), wo8.reshape(c, c))
+    act_scale, attn_scale, scale = 0.04, 0.1, d**-0.5
+
+    # manual tiles exactly as the wrapper's vt branch builds them
+    wqp, wkp, _, _, mm, sc = _abs_padded_prep(
+        *w8, scales, heads, act_scale, attn_scale, scale)
+    sc = sc.at[0, 2].set(jnp.float32(act_scale))
+    sc = sc.at[2, :heads].set(scales[:, 0, 2] * jnp.float32(act_scale))
+    gt = jnp.zeros((8, c), jnp.float32).at[0].set(g1).at[1].set(
+        be1).at[2].set(bo)
+    wvt8 = w8[2].T
+    wo_dq = (w8[3].astype(jnp.float32)
+             * jnp.repeat(scales[:, 0, 3], d)[:, None]).astype(jnp.bfloat16)
+
+    pack = pack_padded_ln_vt_tiles(*w8, scales, heads, scale, act_scale,
+                                   g1, be1, bo, attn_scale)
+    for key, ref in (("wqp", wqp), ("wkp", wkp), ("wvt", wvt8),
+                     ("wo", wo_dq), ("m", mm), ("g", gt), ("sc", sc)):
+        np.testing.assert_array_equal(np.asarray(pack[key]),
+                                      np.asarray(ref), err_msg=key)
+
+    manual = np.asarray(_abs_padded_ln_s8_vt_impl(
+        x, wqp, wkp, wvt8, wo_dq, mm, gt, sc, heads, 1e-6,
+        interpret=True), np.float32)
+    packed = np.asarray(_abs_padded_ln_s8_vt_impl(
+        x, pack["wqp"], pack["wkp"], pack["wvt"], pack["wo"],
+        pack["m"], pack["g"], pack["sc"], heads, 1e-6,
+        interpret=True), np.float32)
+    np.testing.assert_array_equal(packed, manual)
+
+
+def test_pack_geglu_ln_tiles_matches_manual():
+    """The GEGLU pack helper's tiles equal the wrapper's in-graph builds
+    bit-for-bit (static and dynamic interior scale)."""
+    from ldmseg_tpu.ops.pallas.geglu import pack_geglu_ln_tiles
+    c, m = 64, 128
+    rng = np.random.RandomState(31)
+    s1 = jnp.asarray(np.abs(rng.randn(2 * m)) * 1e-3 + 1e-4, jnp.float32)
+    b1 = jnp.asarray(rng.randn(2 * m) * 0.05, jnp.float32)
+    s2 = jnp.asarray(np.abs(rng.randn(c)) * 1e-3 + 1e-4, jnp.float32)
+    b2 = jnp.asarray(rng.randn(c) * 0.05, jnp.float32)
+    g1 = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+    for g_scale in (None, 0.04):
+        pack = pack_geglu_ln_tiles(s1, b1, s2, b2, g1, be1, 0.05, g_scale)
+        s1t = jnp.zeros((8, 2 * m), jnp.float32).at[0].set(
+            s1).at[1].set(b1)
+        s2t = jnp.zeros((8, c), jnp.float32).at[0].set(s2)
+        gt = jnp.zeros((8, c), jnp.float32).at[0].set(g1).at[1].set(
+            be1).at[2].set(b2)
+        sc = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(0.05)
+        if g_scale is not None:
+            sc = sc.at[0, 1].set(g_scale)
+        np.testing.assert_array_equal(np.asarray(pack["s1t"]),
+                                      np.asarray(s1t))
+        np.testing.assert_array_equal(np.asarray(pack["s2t"]),
+                                      np.asarray(s2t))
+        np.testing.assert_array_equal(np.asarray(pack["g"]),
+                                      np.asarray(gt))
+        np.testing.assert_array_equal(np.asarray(pack["sc"]),
+                                      np.asarray(sc))
+
+
+def test_pack_inference_tiles_tree_and_cpu_parity():
+    """pack_inference_tiles adds t_* entries inside the prequantized
+    kernel dicts of fused-norms transformer blocks (keys sorting after
+    "q" — the flax first-leaf constraint), and the packed tree applies
+    IDENTICALLY to the unpacked one on CPU (fallback path ignores the
+    pack; on TPU the kernels consume it)."""
+    from ldmseg_tpu.models import UNet2DCondition, UNetConfig
+    from ldmseg_tpu.ops.quant import (prequantize_conv_tree,
+                                      pack_inference_tiles)
+    base = dict(in_channels=4, block_out_channels=(32, 64),
+                layers_per_block=1, attn_down=(True, True),
+                attention_head_dim=2, norm_num_groups=8,
+                use_cross_attention=False)
+    fused = dict(base, use_padded_attention=True, use_int8_ff=True,
+                 use_fused_ff=True, use_fused_norms=True,
+                 use_int8_conv=True)
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
+    t = jnp.array([3, 7], jnp.int32)
+    u0 = UNet2DCondition(config=UNetConfig(**base))
+    p = u0.init(jax.random.key(0), x, t)
+    pq = prequantize_conv_tree(p, quantize_ff=True,
+                               absorbed_attention=True, attention_heads=2)
+    pk = pack_inference_tiles(pq, attention_heads=2)
+    # entries exist with the kernel-facing shapes
+    flat = jax.tree_util.tree_flatten_with_path(pk)[0]
+    keys = {"/".join(str(getattr(k, "key", k)) for k in path)
+            for path, _ in flat}
+    assert any(k.endswith("to_q/kernel/t_wqp") for k in keys), keys
+    assert any(k.endswith("proj_in/kernel/t_s1") for k in keys)
+    assert any(k.endswith("to_out/kernel/t_g") for k in keys)
+    blk = [path for path, _ in flat
+           if str(getattr(path[-1], "key", "")) == "t_wqp"]
+    assert blk, "no packed attention blocks found"
+    # CPU parity: fallback ignores the pack — outputs identical
+    uq = UNet2DCondition(config=UNetConfig(**fused))
+    y_pq = uq.apply(pq, x, t)
+    y_pk = uq.apply(pk, x, t)
+    np.testing.assert_array_equal(np.asarray(y_pq), np.asarray(y_pk))
