@@ -19,9 +19,12 @@ p = jax.jit(unet.init)(jax.random.key(0), jnp.zeros((1, lh, lw, 8), dtype),
 cast = lambda t: jax.tree_util.tree_map(
     lambda x: x.astype(dtype) if hasattr(x, "dtype")
     and x.dtype == jnp.float32 else x, t)
+from ldmseg_tpu.ops.quant import pack_inference_tiles
 p = jax.jit(functools.partial(prequantize_conv_tree, quantize_ff=True,
                               absorbed_attention=True,
                               attention_heads=8))(cast(p))
+p = jax.jit(functools.partial(pack_inference_tiles,
+                              attention_heads=8))(p)
 
 @jax.jit
 def run(p, x0):
