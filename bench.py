@@ -217,8 +217,15 @@ def main():
             None if flops_frame is None else round(flops_frame / 1e12, 3),
         "achieved_tflops":
             None if achieved is None else round(achieved, 2),
-        "mfu_bf16_pct": None if mfu_bf16 is None else round(mfu_bf16, 2),
+        # bf16_equiv: achieved / bf16 peak — the pipeline runs int8
+        # matmuls, so the OPERATIVE utilization number is mfu_int8_pct
+        # (achieved / int8 peak); bf16_equiv is the how-much-faster-than-
+        # the-best-possible-bf16-program view (VERDICT r4 item 9)
+        "bf16_equiv_mfu_pct":
+            None if mfu_bf16 is None else round(mfu_bf16, 2),
         "mfu_int8_pct": None if mfu_int8 is None else round(mfu_int8, 2),
+        "mfu_note": "path is int8; mfu_int8_pct is the operative "
+                    "utilization, bf16_equiv_mfu_pct the bf16-peak view",
     }))
 
 

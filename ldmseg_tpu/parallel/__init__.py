@@ -6,6 +6,7 @@ from .mesh import (
     replicate,
     zero1_opt_state_sharding,
     param_sharding,
+    prefetch_to_device,
 )
 
 __all__ = [
@@ -14,6 +15,7 @@ __all__ = [
     "replicate",
     "zero1_opt_state_sharding",
     "param_sharding",
+    "prefetch_to_device",
     "tp_param_sharding",
     "apply_tp",
     "spatial_constraint",

@@ -14,6 +14,19 @@ import optax
 from flax import struct
 
 
+def cast_f32(tree, dtype):
+    """Cast every fp32 leaf to ``dtype`` (no-op for fp32); non-float and
+    already-low-precision leaves (int8 weights, packed scale tiles) pass
+    through untouched. The torch-autocast equivalent for pure-function
+    trainers: masters stay fp32, forwards run on a cast working copy."""
+    import jax.numpy as jnp
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+
 @struct.dataclass
 class TrainState:
     step: jax.Array

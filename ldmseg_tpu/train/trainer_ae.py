@@ -29,10 +29,10 @@ import numpy as np
 
 from ..models import SegVAE
 from ..losses import PointLossConfig, point_losses
-from ..parallel import make_mesh, shard_batch, replicate
+from ..parallel import make_mesh, replicate
 from ..utils.meters import AverageMeter, ProgressMeter
 from .optim import make_optimizer, make_lr_schedule
-from .state import TrainState
+from .state import TrainState, cast_f32
 
 
 class TrainerAE:
@@ -53,8 +53,9 @@ class TrainerAE:
         self.fuse_rgb = vk.get("fuse_rgb", False)
         self.accumulate = tk.get("accumulate", 1)
         self.loss_weights = p["loss_weights"]
-        self.compute_dtype = jnp.bfloat16 if tk.get("weight_dtype") == \
-            "bfloat16" else jnp.float32
+        # "float16" (the reference's AMP dtype) maps to bf16 on TPU
+        self.compute_dtype = jnp.bfloat16 if tk.get("weight_dtype") in \
+            ("bfloat16", "float16") else jnp.float32
         self.loss_cfg = PointLossConfig(
             num_points=p["loss_kwargs"]["num_points"],
             oversample_ratio=p["loss_kwargs"]["oversample_ratio"],
@@ -145,6 +146,10 @@ class TrainerAE:
         return images, m
 
     def _forward_loss(self, params, batch, key):
+        # bf16 working copy of the fp32 masters when weight_dtype says so
+        # (without the cast flax promotes fp32 params x bf16 inputs back
+        # to an fp32 forward — the MXU runs at half rate)
+        params = cast_f32(params, self.compute_dtype)
         key_sample, key_mask, key_points = jax.random.split(key, 3)
         images = 2.0 * batch["image_semseg"].astype(self.compute_dtype) - 1.0
         targets = batch["semseg"]
@@ -246,17 +251,20 @@ class TrainerAE:
             self._eval_during_training(step, eval_kw)
         epoch = 0
         t0 = time.time()
+        from ..parallel import prefetch_to_device
+        dev_keys = ("image_semseg", "semseg") + \
+            (("image",) if self.fuse_rgb else ())
         while step < max_steps:
-            for batch in loader.epoch(epoch):
+            # double-buffered H2D: collate + transfer of the next batch
+            # overlap the device step (torch DataLoader pin_memory/prefetch
+            # equivalent, reference trainers_ae.py:159-204); keys not
+            # transferred (image w/o fuse_rgb, meta) stay host-side for
+            # the vis panels
+            for batch in prefetch_to_device(loader.epoch(epoch), self.mesh,
+                                            size=2, keys=dev_keys):
                 if self.state is None:
                     self.init_state(batch, seed)
-                dev_batch = {
-                    "image_semseg": batch["image_semseg"],
-                    "semseg": batch["semseg"],
-                }
-                if self.fuse_rgb:
-                    dev_batch["image"] = batch["image"]
-                db = shard_batch(self.mesh, dev_batch)
+                db = {k: batch[k] for k in dev_keys}
                 key, sub = jax.random.split(key)
                 self.state, metrics = self._train_step(self.state, db, sub)
                 # keep every step's (device) metrics; fetch in one
@@ -292,6 +300,7 @@ class TrainerAE:
         """Full-res logits for eval: encode(mode) -> decode(interp)
         (trainers_ae.py:947-1010 path; rgb fused when fuse_rgb,
         :968-972)."""
+        params = cast_f32(params, self.compute_dtype)
         images = 2.0 * bits.astype(self.compute_dtype) - 1.0
         if rgb is not None:
             rgbs = 2.0 * rgb.astype(self.compute_dtype) - 1.0

@@ -36,10 +36,10 @@ from ..diffusion import (
     make_ddim_schedule, add_noise, remove_noise, ddim_sample,
     dpmpp_2m_sample)
 from ..losses import diffusion_loss
-from ..parallel import make_mesh, shard_batch, replicate
+from ..parallel import make_mesh, replicate
 from ..utils.meters import AverageMeter, ProgressMeter
 from .optim import make_optimizer, make_lr_schedule
-from .state import TrainState
+from .state import TrainState, cast_f32 as _cast_f32
 
 
 class TrainerDiffusion:
@@ -127,8 +127,14 @@ class TrainerDiffusion:
         self.sample_posterior_rgb = tk.get("sample_posterior_rgb", False)
         self.batch_size = tk["batch_size"]
         self.train_num_steps = tk["train_num_steps"]
-        self.compute_dtype = jnp.bfloat16 if tk.get("weight_dtype") == \
-            "bfloat16" else jnp.float32
+        # "float16" (the reference's AMP dtype, train_diffusion.sh) maps
+        # to bf16 — the TPU-native mixed-precision dtype. Master params
+        # stay fp32; _unet_apply casts a bf16 working copy per step (the
+        # torch autocast equivalent — without the cast, flax promotes
+        # fp32 params x bf16 inputs to an fp32 forward and the MXU runs
+        # at half rate; caught by the r5 flagship dress rehearsal).
+        self.compute_dtype = jnp.bfloat16 if tk.get("weight_dtype") in \
+            ("bfloat16", "float16") else jnp.float32
 
         ek = p["eval_kwargs"]
         self.mask_th = ek.get("mask_th", 0.5)
@@ -297,6 +303,10 @@ class TrainerDiffusion:
         if self._pending_pose_params is not None:
             frozen["pose"] = self._pending_pose_params
             self._pending_pose_params = None
+        # frozen towers run entirely in the compute dtype (the reference
+        # keeps the RGB VAE in fp16, main_ldm.py:165-169); cast once here
+        # rather than per step
+        frozen = _cast_f32(frozen, self.compute_dtype)
         self.frozen_params = replicate(self.mesh, frozen)
         tp = bool(self.p.get("tensor_parallel", False)) and \
             self.mesh.shape.get("model", 1) > 1
@@ -329,9 +339,10 @@ class TrainerDiffusion:
         ``clip_len - 1`` (target = middle frame, refs = the rest)."""
         self.pose_model = pose_model
         if self.frozen_params is not None:
-            self.frozen_params = dict(self.frozen_params,
-                                      pose=replicate(self.mesh,
-                                                     pose_params))
+            self.frozen_params = dict(
+                self.frozen_params,
+                pose=replicate(self.mesh,
+                               _cast_f32(pose_params, self.compute_dtype)))
         else:
             self._pending_pose_params = pose_params
 
@@ -362,17 +373,23 @@ class TrainerDiffusion:
     # ------------------------------------------------------------------
     def _encode_impl(self, frozen, batch, key):
         k_seg, k_rgb = jax.random.split(key)
-        bits = 2.0 * batch["image_semseg"].astype(jnp.float32) - 1.0
+        # encode in the compute dtype (frozen params are cast at init);
+        # diffusion-side latents go back to fp32 for the noise math
+        bits = (2.0 * batch["image_semseg"].astype(jnp.float32)
+                - 1.0).astype(self.compute_dtype)
         if self.spatial_parallel:
             from ..parallel.sp import spatial_constraint
             bits = spatial_constraint(bits, self.mesh)
         post_seg = self.vae_seg.apply(frozen["vae_seg"], bits,
                                       method=SegVAE.encode)
         if self.sample_posterior:
-            latents = post_seg.sample(k_seg) * self.seg_scale
+            latents = (post_seg.sample(k_seg) *
+                       self.seg_scale).astype(jnp.float32)
         else:
-            latents = post_seg.mode() * self.seg_scale
-        latents_mean = post_seg.mode() * self.seg_scale
+            latents = (post_seg.mode() *
+                       self.seg_scale).astype(jnp.float32)
+        latents_mean = (post_seg.mode() *
+                        self.seg_scale).astype(jnp.float32)
 
         # RGB path runs in the compute dtype (fp16 VAE in the reference,
         # main_ldm.py:165-169 -> bf16 here); shared with RGB-only
@@ -536,6 +553,13 @@ class TrainerDiffusion:
         if condition is not None:
             inputs = jnp.concatenate([inputs, condition], axis=-1)
         unet = self.unet_infer if infer else self.unet
+        if not infer:
+            # bf16 working copy of the fp32 masters (torch-autocast
+            # equivalent; the cast is differentiable, so grads land back
+            # on the fp32 tree). Inference params are cast/prequantized
+            # OUTSIDE the sampling scan by the callers — XLA does not
+            # hoist per-step casts out of lax.scan.
+            params = _cast_f32(params, self.compute_dtype)
         return unet.apply(params, inputs.astype(self.compute_dtype),
                           t, context).astype(jnp.float32)
 
@@ -788,17 +812,22 @@ class TrainerDiffusion:
             self._eval_during_training(step, eval_kw)
         epoch = 0
         t0 = time.time()
+        from ..parallel import prefetch_to_device
         while step < max_steps:
-            for batch in loader.epoch(epoch):
+            # double-buffered H2D: the next batch's collate + transfer
+            # overlap the device step (the torch DataLoader pin_memory/
+            # prefetch equivalent, reference trainers_ldm_cond.py:246-258)
+            for db in prefetch_to_device(
+                    (self._device_batch(b) for b in loader.epoch(epoch)),
+                    self.mesh, size=2):
                 if self.state is None:
-                    self.init_state(batch, seed)
-                db = shard_batch(self.mesh, self._device_batch(batch))
+                    self.init_state(db, seed)
                 key, sub = jax.random.split(key)
                 self.state, metrics, pred_x0 = self._train_step(
                     self.state, self.frozen_params, db, sub)
                 step += 1
                 if vis_every and step % vis_every == 0:
-                    self.log_images_train(batch, pred_x0, step)
+                    self.log_images_train(db, pred_x0, step)
                 pending.append(metrics["loss"])
                 if step % log_every == 0:
                     for v in jax.device_get(pending):
@@ -852,7 +881,8 @@ class TrainerDiffusion:
                        num_inference_steps=num_inference_steps,
                        self_condition=self.self_condition)
         # decode_latents (:399-427): unscale + seg-VAE decode to logits
-        z = x0 * (1.0 / self.seg_scale)
+        # (in the compute dtype — frozen params are cast at init)
+        z = (x0 * (1.0 / self.seg_scale)).astype(self.compute_dtype)
         logits = self.vae_seg.apply(frozen["vae_seg"], z, True,
                                     method=SegVAE.decode)
         if self.spatial_parallel:
@@ -890,6 +920,10 @@ class TrainerDiffusion:
             # one device pass re-quantizing weights, amortized over the
             # 50-step scan
             eval_params = self._prequant(eval_params)
+        else:
+            # cast once OUTSIDE the sampling scan (per-step casts are
+            # not hoisted out of lax.scan)
+            eval_params = _cast_f32(eval_params, self.compute_dtype)
         logits, x0 = self._sample_decode(
             eval_params, self.frozen_params, rgb_latents, key,
             context, uncond,
@@ -981,7 +1015,7 @@ class TrainerDiffusion:
                              strength=refine_strength,
                              self_condition=self.self_condition)
 
-        z = x0 * (1.0 / self.seg_scale)
+        z = (x0 * (1.0 / self.seg_scale)).astype(self.compute_dtype)
         logits = self.vae_seg.apply(frozen["vae_seg"], z, True,
                                     method=SegVAE.decode)
         return logits.astype(jnp.float32), x0
@@ -1041,6 +1075,8 @@ class TrainerDiffusion:
         if self.int8_inference:
             self._ensure_int8_ready(batch, key)
             eval_params = self._prequant(eval_params)
+        else:
+            eval_params = _cast_f32(eval_params, self.compute_dtype)
         return self._sample_clip(
             eval_params, self.frozen_params, db, key,
             context, uncond,

@@ -37,6 +37,31 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 TEST_TIMEOUT_S = int(os.environ.get("LDMSEG_TEST_TIMEOUT", "1200"))
 
 
+# Smoke tier (-m smoke): fast, wide-coverage modules for round-end
+# hygiene — one module per subsystem family, no multi-minute trainer/CLI
+# integrations. Keep the whole tier under ~10 min on this 1-CPU VM.
+SMOKE_MODULES = {
+    "test_bits",            # bits codec vs numpy oracle
+    "test_native_codec",    # C++ codec binding
+    "test_ddim",            # schedule tables + sampler steps
+    "test_golden_ddim",     # golden-trajectory regression
+    "test_dpm",             # DPM-Solver++ sampler
+    "test_grid_sample",     # torch-parity point sampling
+    "test_panoptic_post",   # post-processing
+    "test_evals",           # VPQ/PQ numpy-oracle parity
+    "test_train_state",     # EMA/accum/optimizer state machine
+    "test_data",            # datasets/loader/collate
+    "test_point_losses",    # PointRend losses
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.nodeid.split("::")[0].rsplit("/", 1)[-1][:-3]
+        if mod in SMOKE_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)
+
+
 @pytest.hookimpl(wrapper=True)
 def pytest_runtest_call(item):
     def _alarm(signum, frame):

@@ -1,12 +1,13 @@
-"""Multihost eval synchronization under a SIMULATED 2-process gather.
+"""Multihost eval-sync MERGE-LOGIC test (simulated gather).
 
 Reference parity: SemsegMeter all-reduce (semseg_evaluation.py:59-70) and
 PanopticEvaluator per-rank record gather (panoptic_evaluation.py:97-100).
-A second JAX process can't be spawned inside the test VM, so
 ``jax.process_count`` / ``multihost_utils.process_allgather`` are
-monkeypatched; what's under test is the packing/merge logic itself:
-two evaluators fed disjoint image shards must, after "sync", both score
-exactly like one evaluator fed the whole set.
+monkeypatched, so ONLY the packing/merge logic is under test here: two
+evaluators fed disjoint image shards must, after "sync", score exactly
+like one evaluator fed the whole set. The actual collective path is
+covered by tests/test_multihost_real.py, which spawns a real 2-process
+``jax.distributed`` CPU cluster.
 """
 
 import numpy as np

@@ -72,6 +72,33 @@ def test_self_condition_and_mask_modes(tmp_path):
         assert pred_x0.shape[1:] == (8, 16, 4)  # latent /8
 
 
+def test_bf16_mixed_precision(tmp_path):
+    """weight_dtype=bfloat16: fp32 masters + bf16 working copies.
+
+    Frozen towers are cast once at init; the train step casts a bf16
+    param copy per forward (torch-autocast equivalent) but keeps the
+    optimizer masters in fp32; sampling casts outside the scan."""
+    tr, batch = _trainer(
+        tmp_path, {"train_kwargs": {"weight_dtype": "bfloat16"}})
+    # frozen towers cast once at init
+    frozen_dtypes = {str(x.dtype) for x in
+                     jax.tree_util.tree_leaves(tr.frozen_params)
+                     if hasattr(x, "dtype")}
+    assert "bfloat16" in frozen_dtypes
+    assert "float32" not in frozen_dtypes
+    tr.train_loop(max_steps=2, log_every=1, save_every=100)
+    # masters stay fp32 through the update
+    assert all(x.dtype == jnp.float32 for x in
+               jax.tree_util.tree_leaves(tr.state.params))
+    logits, x0 = tr.sample_panoptic(batch, jax.random.key(0),
+                                    num_inference_steps=2)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    # "float16" (the reference AMP dtype) maps to bf16 too
+    tr2, _ = _trainer(
+        tmp_path, {"train_kwargs": {"weight_dtype": "float16"}})
+    assert tr2.compute_dtype == jnp.bfloat16
+
+
 def test_sampling_pipeline_and_pq(tmp_path):
     tr, batch = _trainer(tmp_path)
     logits, x0 = tr.sample_panoptic(batch, jax.random.key(0),
