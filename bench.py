@@ -43,6 +43,12 @@ def main():
     # inside the kernel) + LN-fused GEGLU — the transformer block is two
     # custom calls. 34.35 vs 35.28 ms/fwd against the flat s8 path;
     # sampling corr 0.99995 vs bf16 (rel 1.0%).
+    # round 5: fused projs (Transformer2D 1x1 proj convs absorbed as
+    # bf16 prologue/epilogue matmuls of the two block kernels) measured
+    # e2e NEGATIVE (10.41 vs 10.63 f/s) despite the projs' standalone
+    # ~20% MFU — XLA's "slow" token matmuls were amortizing neighboring
+    # elementwise work into their fusions. Kernels kept opt-in
+    # (use_fused_projs, numerics-tested); see BENCH_NOTES r5.
     unet_cfg = UNetConfig(in_channels=8, use_cross_attention=False,
                           use_padded_attention=True, use_fused_norms=True,
                           use_int8_conv=True, int8_act_scale=0.05,
@@ -185,6 +191,25 @@ def main():
               file=sys.stderr)
         train_sps = None
 
+    # REAL-trainer train throughput (VERDICT r4 item 2): the canonical
+    # train_diffusion.sh step through TrainerDiffusion._train_step —
+    # self-cond double forward, frozen VAE encodes, SNR weights, adamw
+    # fp32 moments + ZeRO — not the reduced UNet-only probe above. Big
+    # allocation (fp32 masters + adamw moments); free the inference
+    # trees first.
+    try:
+        import gc
+        del unet_params, img_params, seg_params, unet_params_bf
+        del pipeline
+        jax.clear_caches()
+        gc.collect()
+        trainer_sps = _trainer_train_throughput()
+    except Exception as e:
+        import sys
+        print(f"trainer probe failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        trainer_sps = None
+
     # MFU accounting: analytic FLOPs/frame (XLA HLO cost analysis of the
     # pure-XLA bf16 graphs at bench shapes) anchors the f/s headline to
     # hardware efficiency (VERDICT r3 item 4)
@@ -196,12 +221,25 @@ def main():
               file=sys.stderr)
         flops_frame = None
     achieved = mfu_bf16 = mfu_int8 = None
+    peak_bf16, peak_int8 = _chip_peaks(jax)
     if flops_frame is not None:
         achieved = flops_frame * fps / 1e12
-        peak_bf16, peak_int8 = _chip_peaks(jax)
         if peak_bf16:
             mfu_bf16 = 100.0 * achieved / peak_bf16
             mfu_int8 = 100.0 * achieved / peak_int8
+
+    # train-side MFU for the REAL trainer step (bf16 path -> bf16 peak)
+    train_flops = train_mfu = None
+    if trainer_sps is not None:
+        try:
+            train_flops = _train_flops_subprocess(h, w, lh, lw)
+            if peak_bf16:
+                train_mfu = 100.0 * (train_flops * trainer_sps / 1e12) \
+                    / peak_bf16
+        except Exception as e:
+            import sys
+            print(f"train flops probe failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     baseline = 8.0  # north-star frames/s/chip (BASELINE.json)
     print(json.dumps({
@@ -211,6 +249,16 @@ def main():
         "vs_baseline": round(fps / baseline, 3),
         "train_samples_per_sec_per_chip":
             None if train_sps is None else round(train_sps, 3),
+        # the REAL TrainerDiffusion step at the canonical config (self-
+        # cond double fwd + frozen VAE encodes + SNR/OHEM + adamw+ZeRO);
+        # train_samples_per_sec_per_chip above is the reduced UNet-only
+        # MSE probe kept for round-over-round comparability
+        "train_samples_per_sec_trainer":
+            None if trainer_sps is None else round(trainer_sps, 3),
+        "train_flops_per_sample_tf":
+            None if train_flops is None else round(train_flops / 1e12, 3),
+        "train_mfu_bf16_pct":
+            None if train_mfu is None else round(train_mfu, 2),
         "dpmpp_2m_20step_frames_per_sec":
             None if dpm_fps is None else round(dpm_fps, 3),
         "flops_per_frame_tf":
@@ -372,6 +420,134 @@ def _train_throughput(jax, jnp, unet, unet_params, batch, lh, lw, dtype,
     np.asarray(loss)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt
+
+
+def _trainer_train_throughput(batch: int = 16, h: int = 256,
+                              w: int = 512):
+    """Samples/s/chip of the REAL TrainerDiffusion._train_step at the
+    canonical train_diffusion.sh config (reference
+    trainers_ldm_cond.py:816-866): self-conditioning double forward,
+    frozen seg+RGB VAE encodes per batch, SNR-weighted OHEM loss, adamw
+    (fp32 moments, ZeRO-1 layout) + cosine schedule + grad clip, bf16
+    working copies on fp32 masters, gradient checkpointing. Same config
+    builder as tools/perf/dress_rehearsal.py (shared compile cache)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ldmseg_tpu.tools.perf.dress_rehearsal import canonical_setup
+    from ldmseg_tpu.tools.main_ae import build_datasets
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+    from ldmseg_tpu.data import Loader
+
+    cfg, unet_config = canonical_setup(batch, h, w)
+    train_ds, _ = build_datasets(cfg, None)
+    trainer = TrainerDiffusion(cfg, unet_config=unet_config,
+                               dataset=train_ds, val_dataset=None,
+                               results_folder="/tmp/ldmseg_bench_train")
+    first = next(iter(Loader(train_ds, batch, shuffle=False)))
+    trainer.init_state(first)
+    db = {k: jnp.asarray(v) for k, v in
+          trainer._device_batch(first).items()}
+    key = jax.random.key(11)
+    # 2 warmup calls (compile + one settle step), then timed
+    for i in range(2):
+        key, sub = jax.random.split(key)
+        trainer.state, metrics, _ = trainer._train_step(
+            trainer.state, trainer.frozen_params, db, sub)
+    np.asarray(metrics["loss"])
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        trainer.state, metrics, _ = trainer._train_step(
+            trainer.state, trainer.frozen_params, db, sub)
+    np.asarray(metrics["loss"])  # forced fetch (relay-safe timing)
+    return batch / ((time.perf_counter() - t0) / iters)
+
+
+def _train_flops_subprocess(h, w, lh, lw) -> float:
+    """Analytic FLOPs per sample of the canonical train step, counted on
+    the CPU backend in a subprocess (cost_analysis is None on axon)."""
+    import os
+    import subprocess
+    import sys
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import jax.numpy as jnp; import bench; "
+        f"print(bench._analytic_train_flops_per_sample(jax, jnp, 16, "
+        f"{h}, {w}, {lh}, {lw}, jnp.bfloat16))")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       timeout=900, text=True,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr.strip().splitlines()[-1]
+                           if r.stderr.strip() else "subprocess failed")
+    return float(r.stdout.strip().splitlines()[-1])
+
+
+def _analytic_train_flops_per_sample(jax, jnp, batch, h, w, lh, lw,
+                                     dtype):
+    """FLOPs/sample of the canonical stage-2 train step: seg-VAE encode
+    + RGB-VAE encode + self-cond UNet forward (no grad) + UNet
+    forward/backward via the lowered value_and_grad graph. Counted over
+    the pure-XLA bf16 expression of the same math (HLO cost analysis of
+    lower() only; optimizer elementwise update is negligible and
+    excluded)."""
+    import functools
+    from ldmseg_tpu.models import (
+        SegVAE, ImageVAE, UNet2DCondition, UNetConfig)
+
+    def lowered_flops(fn, *args):
+        return jax.jit(fn).lower(*args).cost_analysis()["flops"]
+
+    def sds(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+
+    key = jax.random.key(0)
+    # canonical UNet input: 4 noisy + 4 rgb + 4 self-cond channels
+    unet = UNet2DCondition(config=UNetConfig(
+        in_channels=12, cond_channels=4, use_cross_attention=False,
+        use_fused_attention=False))
+    xs = jax.ShapeDtypeStruct((batch, lh, lw, 12), dtype)
+    ts = jax.ShapeDtypeStruct((batch,), jnp.int32)
+    up = sds(jax.eval_shape(unet.init, key, xs, ts))
+    selfcond_flops = lowered_flops(unet.apply, up, xs, ts)
+
+    ns = jax.ShapeDtypeStruct((batch, lh, lw, 4), jnp.float32)
+
+    def loss_fn(p, x, t, noise):
+        pred = unet.apply(p, x, t).astype(jnp.float32)
+        return jnp.mean((pred - noise) ** 2)
+
+    grad_flops = lowered_flops(
+        jax.value_and_grad(loss_fn), up, xs, ts, ns)
+
+    # frozen encoders (run in bf16 every step, reference
+    # trainers_ldm_cond.py:692-700)
+    vae_img = ImageVAE(decoder_enabled=False, use_fused_attention=False)
+    rs = jax.ShapeDtypeStruct((batch, h, w, 3), dtype)
+    ip = sds(jax.eval_shape(
+        functools.partial(vae_img.init, method=ImageVAE.encode), key, rs))
+
+    def enc_rgb(p, r):
+        return vae_img.apply(p, r, method=ImageVAE.encode).mode()
+
+    rgb_flops = lowered_flops(enc_rgb, ip, rs)
+
+    vae_seg = SegVAE(in_channels=10, out_channels=32, num_upscalers=2,
+                     num_mid_blocks=0)
+    bs = jax.ShapeDtypeStruct((batch, h, w, 10), dtype)
+    sp = sds(jax.eval_shape(
+        functools.partial(vae_seg.init, method=SegVAE.encode),
+        {"params": key}, bs))
+
+    def enc_seg(p, b):
+        return vae_seg.apply(p, b, method=SegVAE.encode).mode()
+
+    seg_flops = lowered_flops(enc_seg, sp, bs)
+
+    return (selfcond_flops + grad_flops + rgb_flops + seg_flops) / batch
 
 
 def _main_with_retry():

@@ -31,17 +31,23 @@ class Loader:
         batch_size: int,
         shuffle: bool = True,
         drop_last: bool = True,
-        num_threads: int = 8,
+        num_threads: Optional[int] = None,
         prefetch: int = 4,
         seed: int = 0,
         shard_id: int = 0,
         num_shards: int = 1,
     ):
+        import os
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self.num_threads = num_threads
+        # default: one decode thread per core, capped at the reference's
+        # num_workers=8; oversubscribing a small host serializes on the
+        # GIL and loses (measured 5 vs 9.5 samples/s on a 1-core VM,
+        # tools/perf/loader_bench.py)
+        self.num_threads = (min(8, os.cpu_count() or 1)
+                            if num_threads is None else num_threads)
         self.prefetch = prefetch
         self.seed = seed
         self.shard_id = shard_id
@@ -75,6 +81,14 @@ class Loader:
         work: queue.Queue = queue.Queue()
         done: dict = {}
         done_lock = threading.Condition()
+        # bound decoded-but-unconsumed batches: without a window, workers
+        # race through the whole epoch ahead of the train step and pile
+        # every decoded batch in memory. A worker only STARTS batch bi
+        # once bi falls inside [consumed, consumed + window); admission is
+        # monotone in bi (FIFO work queue), so the earliest outstanding
+        # batch is never starved and the consumer always makes progress.
+        window = max(self.prefetch, 1) + self.num_threads
+        consumed = [0]
         for bi, b in enumerate(batches):
             work.put((bi, b))
 
@@ -84,6 +98,9 @@ class Loader:
                     bi, b = work.get_nowait()
                 except queue.Empty:
                     return
+                with done_lock:
+                    while bi >= consumed[0] + window:
+                        done_lock.wait()
                 try:
                     samples = [self.ds.__getitem__(int(i), epoch=epoch)
                                for i in b]
@@ -104,6 +121,8 @@ class Loader:
                 while bi not in done:
                     done_lock.wait()
                 batch = done.pop(bi)
+                consumed[0] = bi + 1
+                done_lock.notify_all()
             if isinstance(batch, Exception):
                 raise batch
             yield batch

@@ -40,14 +40,22 @@ class SyntheticDVPS:
         self.seed = seed
         self.maskgen = MaskingGenerator(input_size=(64, 64),
                                         mode="random_local")
+        # the blob render + bit encode are deterministic per
+        # (scene, frame) — only the RGB photo noise and inpainting mask
+        # vary per epoch. Caching the scene render makes repeated epochs
+        # (bench/dress-rehearsal loops, long tests) pay ~10 ms/sample
+        # instead of ~300 ms; tiny vs host RAM (~8 MB per 256x512 frame)
+        self._scene_cache: dict = {}
 
     def __len__(self):
         return self.length
 
-    def __getitem__(self, idx: int, epoch: int = 0) -> dict:
+    def _render(self, scene: int, frame: int):
         h, w = self.size
-        scene = idx // self.frames_per_scene
-        frame = idx % self.frames_per_scene
+        key = (scene, frame)
+        hit = self._scene_cache.get(key)
+        if hit is not None:
+            return hit
         # blobs belong to the scene; the frame shifts them slightly so
         # consecutive frames look like video
         rng = np.random.default_rng(
@@ -72,24 +80,36 @@ class SyntheticDVPS:
             (instance * 91 % 255) / 255.0,
             yy / h,
         ], axis=-1).astype(np.float32)
+        mask = (semseg != self.ignore_label).astype(np.uint8)
+        seg_bits = encode_bits_host(semseg, self.num_bits,
+                                    ignore_label=self.ignore_label,
+                                    fill_value=self.fill_value)
+        ins_bits = encode_bits_host(instance, self.num_bits,
+                                    ignore_label=None)
+        entry = (semseg, instance, depth, rgb, mask,
+                 np.concatenate([seg_bits, ins_bits], axis=-1))
+        self._scene_cache[key] = entry
+        return entry
+
+    def __getitem__(self, idx: int, epoch: int = 0) -> dict:
+        h, w = self.size
+        scene = idx // self.frames_per_scene
+        frame = idx % self.frames_per_scene
+        semseg, instance, depth, rgb_base, mask, image_semseg = \
+            self._render(scene, frame)
+        # per-epoch variation: photographic noise + inpainting mask
+        # (blob geometry and bit planes are scene-deterministic, above)
         frng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, idx, 7]))
-        rgb = np.clip(rgb + frng.normal(0, 0.02, rgb.shape), 0, 1)
-
-        mask = (semseg != self.ignore_label).astype(np.uint8)
-
-        seg_bits = encode_bits_host(semseg, self.num_bits,
-                                     ignore_label=self.ignore_label,
-                                     fill_value=self.fill_value)
-        ins_bits = encode_bits_host(instance, self.num_bits,
-                                     ignore_label=None)
+        rgb = np.clip(rgb_base + frng.normal(0, 0.02, rgb_base.shape),
+                      0, 1)
         return {
             "image": normalize_imagenet(rgb.astype(np.float32)),
             "semseg": semseg,
             "instance": instance,
             "depth": depth,
             "mask": mask,
-            "image_semseg": np.concatenate([seg_bits, ins_bits], axis=-1),
+            "image_semseg": image_semseg,
             "inpainting_mask": self.maskgen(t=0.0, rng=frng).astype(bool),
             "text": "",
             "meta": {

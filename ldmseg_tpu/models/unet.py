@@ -84,6 +84,9 @@ class UNetConfig:
     # adds into the padded-attention / fused-GEGLU kernels (inference):
     # the self-attn block becomes exactly two custom calls
     use_fused_norms: bool = False
+    # absorb the Transformer2D 1x1 proj convs as bf16 prologue/
+    # epilogue matmuls of those two kernels (needs fused_norms)
+    use_fused_projs: bool = False
     int8_act_scale: Optional[float] = None  # static act scale for int8
     # static q/k/v scale for the s8 attention kernel (None = dynamic
     # amax; attention inputs span wider ranges than GN+SiLU outputs)
@@ -114,6 +117,24 @@ class _DenseParams(nn.Module):
             return kernel, None
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return kernel, bias
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for a 1x1 ``nn.Conv`` (same name/shape
+    tree) — lets the fused-projs path hand the Transformer2D proj convs
+    to the Pallas kernels while staying checkpoint-compatible."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        # [1, 1, Cin, Cout] -> [Cin, Cout]: a free row-major reshape;
+        # y = x @ w matches the 1x1 conv exactly
+        return kernel.reshape(self.in_features, self.features), bias
 
 
 class _LNParams(nn.Module):
@@ -194,7 +215,7 @@ class CrossAttention(nn.Module):
                 ko.reshape(self.heads, head_dim, c), self.heads, scale)
         return out + bo.astype(out.dtype)
 
-    def _absorbed_padded(self, x, ln=None):
+    def _absorbed_padded(self, x, ln=None, proj_in=None):
         """Projections + attention + out-projection in ONE s8 Pallas call
         with head-PADDED weights (ops/pallas/attention.py
         ``absorbed_padded_self_attention_s8``): all heads projected by a
@@ -249,16 +270,18 @@ class CrossAttention(nn.Module):
                         "m": ko["t_m"], "g": ko["t_g"], "sc": ko["t_sc"]}
             return absorbed_padded_ln_self_attention_s8(
                 x, ln[0], ln[1], bo, *w8, scales, self.heads, scale,
-                act_scale=xs, pack=pack)
+                act_scale=xs, pack=pack, proj_in=proj_in)
+        assert proj_in is None, "proj_in absorption needs fused_norms"
         out = absorbed_padded_self_attention_s8(
             x, *w8, scales, self.heads, scale, act_scale=xs)
         return out + bo.astype(out.dtype)
 
     @nn.compact
-    def __call__(self, x, context=None, ln=None):
+    def __call__(self, x, context=None, ln=None, proj_in=None):
         is_self = context is None
         if self.padded and is_self:
-            return self._absorbed_padded(x, ln=ln)
+            return self._absorbed_padded(x, ln=ln, proj_in=proj_in)
+        assert proj_in is None, "proj_in absorption needs padded attn"
         if self.absorbed and is_self:
             return self._absorbed(x)
         context = x if context is None else context
@@ -318,7 +341,9 @@ class FeedForward(nn.Module):
     int8_act_scale: Optional[float] = None
 
     @nn.compact
-    def __call__(self, x, ln=None):
+    def __call__(self, x, ln=None, proj_out=None):
+        assert proj_out is None or ln is not None, \
+            "proj_out absorption needs the fused-norms (ln) path"
         if ln is not None:
             # fused-norms path: the pre-FF LayerNorm, proj_out bias and
             # residual add ride inside the GEGLU kernel — returns the
@@ -346,7 +371,8 @@ class FeedForward(nn.Module):
                     k2["q"], k2["scale"], b2,
                     act_scale=k1.get("x_scale",
                                      self.int8_act_scale or 0.05),
-                    g_scale=k2.get("x_scale"), pack=pack)
+                    g_scale=k2.get("x_scale"), pack=pack,
+                    proj_out=proj_out)
             # raw kernels (tests / non-prequantized trees): same math
             # via the XLA fallback with in-graph weight quantization
             # (per-out-channel, the QuantDense convention)
@@ -358,10 +384,15 @@ class FeedForward(nn.Module):
                         .astype(jnp.int8), ws)
             q1, s1 = _qd(k1)
             q2, s2 = _qd(k2)
-            return _xla_geglu_ln_s8(
+            r = _xla_geglu_ln_s8(
                 x, ln[0], ln[1], q1, q2,
                 jnp.stack([s1, b1.astype(jnp.float32)]), s2[None], b2,
                 self.int8_act_scale or 0.05, 1e-6)
+            if proj_out is not None:
+                r = (jnp.einsum("btc,co->bto", r.astype(jnp.float32),
+                                proj_out[0].astype(jnp.float32))
+                     + proj_out[1].astype(jnp.float32)).astype(x.dtype)
+            return r
         if self.int8 and self.fused and x.ndim == 3:
             # fused s8 GEGLU (ops/pallas/geglu.py): one VMEM pass for
             # quantize -> W1 -> gate -> quantize -> W2, killing the
@@ -423,14 +454,20 @@ class BasicTransformerBlock(nn.Module):
     int8_attn_act_scale: Optional[float] = None
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, proj_in=None, proj_out=None):
         # fused-norms (inference): the pre-attention/pre-FF LayerNorms,
         # out-proj biases and residual adds ride INSIDE the two s8
         # Pallas kernels, so the whole self-attn block is two custom
         # calls with zero standalone [B,T,C] elementwise passes. Param
         # tree is unchanged (_LNParams mirrors nn.LayerNorm).
+        # proj_in/proj_out (fused-projs): the Transformer2D 1x1 proj
+        # convs absorbed as bf16 prologue/epilogue matmuls of the same
+        # two kernels — x then arrives as the GN output and the return
+        # value is the proj_out output (caller adds the outer residual).
         fuse_attn = (self.fused_norms and self.padded_attention)
         fuse_ff = (self.fused_norms and self.int8_ff and self.fused_ff)
+        if proj_in is not None or proj_out is not None:
+            assert fuse_attn and fuse_ff and not self.use_cross_attention
         attn1 = CrossAttention(self.dim, self.heads,
                                use_fused=self.use_fused_attention,
                                int8=self.int8_attention,
@@ -440,7 +477,8 @@ class BasicTransformerBlock(nn.Module):
                                int8_act_scale=self.int8_attn_act_scale,
                                name="attn1")
         if fuse_attn:
-            x = attn1(x, ln=_LNParams(self.dim, name="norm1")())
+            x = attn1(x, ln=_LNParams(self.dim, name="norm1")(),
+                      proj_in=proj_in)
         else:
             h = nn.LayerNorm(name="norm1")(x)
             x = x + attn1(h)
@@ -457,7 +495,8 @@ class BasicTransformerBlock(nn.Module):
                          if self.int8_ff else None,
                          name="ff")
         if fuse_ff:
-            x = ff(x, ln=_LNParams(self.dim, name="norm3")())
+            x = ff(x, ln=_LNParams(self.dim, name="norm3")(),
+                   proj_out=proj_out)
         else:
             h = nn.LayerNorm(name="norm3")(x)
             x = x + ff(h)
@@ -481,6 +520,7 @@ class Transformer2D(nn.Module):
     int8_ff: bool = False
     fused_ff: bool = False
     fused_norms: bool = False
+    fused_projs: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
 
@@ -490,25 +530,40 @@ class Transformer2D(nn.Module):
         residual = x
         y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6,
                          name="norm")(x)
+        block = functools.partial(
+            BasicTransformerBlock,
+            self.channels, self.heads, self.context_dim,
+            use_cross_attention=self.use_cross_attention,
+            use_fused_attention=self.use_fused_attention,
+            int8_attention=self.int8_attention,
+            packed_attention=self.packed_attention,
+            absorbed_attention=self.absorbed_attention,
+            padded_attention=self.padded_attention,
+            int8_ff=self.int8_ff,
+            fused_ff=self.fused_ff,
+            fused_norms=self.fused_norms,
+            int8_act_scale=self.int8_act_scale,
+            int8_attn_act_scale=self.int8_attn_act_scale)
+        if (self.fused_projs and self.fused_norms and self.depth == 1
+                and not self.use_cross_attention):
+            # fused-projs (inference): the 1x1 proj convs become bf16
+            # prologue/epilogue matmuls INSIDE the two block kernels —
+            # outside them they run at ~20% MFU on the custom-call-
+            # forced {1,2,0} layout (BENCH_NOTES r4). Same param tree
+            # (_ConvParams mirrors the 1x1 nn.Conv).
+            pi = _ConvParams(self.channels, c, name="proj_in")()
+            po = _ConvParams(self.channels, self.channels,
+                             name="proj_out")()
+            y = y.reshape(b, h * w, c)
+            y = block(name="block0")(y, context, proj_in=pi, proj_out=po)
+            y = y.reshape(b, h, w, self.channels)
+            return y + residual
         # (1x1 proj conv quantization also measured net-negative; bf16)
         Proj = functools.partial(nn.Conv, padding=0)
         y = Proj(self.channels, (1, 1), name="proj_in")(y)
         y = y.reshape(b, h * w, self.channels)
         for i in range(self.depth):
-            y = BasicTransformerBlock(
-                self.channels, self.heads, self.context_dim,
-                use_cross_attention=self.use_cross_attention,
-                use_fused_attention=self.use_fused_attention,
-                int8_attention=self.int8_attention,
-                packed_attention=self.packed_attention,
-                absorbed_attention=self.absorbed_attention,
-                padded_attention=self.padded_attention,
-                int8_ff=self.int8_ff,
-                fused_ff=self.fused_ff,
-                fused_norms=self.fused_norms,
-                int8_act_scale=self.int8_act_scale,
-                int8_attn_act_scale=self.int8_attn_act_scale,
-                name=f"block{i}")(y, context)
+            y = block(name=f"block{i}")(y, context)
         y = y.reshape(b, h, w, self.channels)
         y = Proj(self.channels, (1, 1), name="proj_out")(y)
         return y + residual
@@ -579,6 +634,7 @@ class DownBlock(nn.Module):
     int8_ff: bool = False
     fused_ff: bool = False
     fused_norms: bool = False
+    fused_projs: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
@@ -607,6 +663,7 @@ class DownBlock(nn.Module):
                                   int8_ff=self.int8_ff,
                                   fused_ff=self.fused_ff,
                 fused_norms=self.fused_norms,
+                fused_projs=self.fused_projs,
                                   int8_act_scale=self.int8_act_scale,
                                   int8_attn_act_scale=self.int8_attn_act_scale,
                                   name=f"attn{i}")(x, context)
@@ -637,6 +694,7 @@ class UpBlock(nn.Module):
     int8_ff: bool = False
     fused_ff: bool = False
     fused_norms: bool = False
+    fused_projs: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
@@ -669,6 +727,7 @@ class UpBlock(nn.Module):
                                   int8_ff=self.int8_ff,
                                   fused_ff=self.fused_ff,
                 fused_norms=self.fused_norms,
+                fused_projs=self.fused_projs,
                                   int8_act_scale=self.int8_act_scale,
                                   int8_attn_act_scale=self.int8_attn_act_scale,
                                   name=f"attn{i}")(x, context)
@@ -695,6 +754,7 @@ class MidBlockCrossAttn(nn.Module):
     int8_ff: bool = False
     fused_ff: bool = False
     fused_norms: bool = False
+    fused_projs: bool = False
     use_int8: bool = False
     int8_act_scale: Optional[float] = None
     int8_attn_act_scale: Optional[float] = None
@@ -719,6 +779,7 @@ class MidBlockCrossAttn(nn.Module):
                           int8_ff=self.int8_ff,
                           fused_ff=self.fused_ff,
                 fused_norms=self.fused_norms,
+                fused_projs=self.fused_projs,
                           int8_act_scale=self.int8_act_scale,
                           int8_attn_act_scale=self.int8_attn_act_scale,
                           name="attn")(x, context)
@@ -847,6 +908,7 @@ class UNet2DCondition(nn.Module):
                     int8_ff=cfg.use_int8_ff,
                     fused_ff=cfg.use_fused_ff,
                 fused_norms=cfg.use_fused_norms,
+                fused_projs=cfg.use_fused_projs,
                     int8_attn_act_scale=cfg.int8_attn_act_scale,
                     name=f"down_blocks_img{i}")(x_img, emb_img, context)
                 if cfg.add_adaptor:
@@ -895,6 +957,7 @@ class UNet2DCondition(nn.Module):
                 int8_ff=cfg.use_int8_ff,
                 fused_ff=cfg.use_fused_ff,
                 fused_norms=cfg.use_fused_norms,
+                fused_projs=cfg.use_fused_projs,
                 int8_attn_act_scale=cfg.int8_attn_act_scale,
                 name=f"down_blocks{i}")(x, emb, context)
             res_stack.extend(res)
@@ -920,6 +983,7 @@ class UNet2DCondition(nn.Module):
             int8_ff=cfg.use_int8_ff,
             fused_ff=cfg.use_fused_ff,
                 fused_norms=cfg.use_fused_norms,
+                fused_projs=cfg.use_fused_projs,
             int8_attn_act_scale=cfg.int8_attn_act_scale,
             name="mid_block")(x, emb, context)
 
@@ -953,6 +1017,7 @@ class UNet2DCondition(nn.Module):
                 int8_ff=cfg.use_int8_ff,
                 fused_ff=cfg.use_fused_ff,
                 fused_norms=cfg.use_fused_norms,
+                fused_projs=cfg.use_fused_projs,
                 int8_attn_act_scale=cfg.int8_attn_act_scale,
                 upsample_size=upsample_size,
                 name=f"up_blocks{i}")(x, res_samples, emb, context)

@@ -867,6 +867,34 @@ def _attn_kernel_abs_padded_ln_s8_vt(x_ref, wq_ref, wk_ref, wvt_ref,
     pre-dequantized bf16 UNPADDED ``[C, C]`` (rows grouped per head,
     matching the scratch row groups)."""
     xf = x_ref[0].astype(jnp.float32)   # [T, C]
+    _abs_padded_ln_s8_vt_body(xf, wq_ref, wk_ref, wvt_ref, wo_ref,
+                              m_ref, g_ref, sc_ref, o_ref, ot_ref,
+                              heads=heads, eps=eps)
+
+
+def _attn_kernel_abs_padded_ln_s8_vt_pin(x_ref, wpi_ref, wq_ref, wk_ref,
+                                         wvt_ref, wo_ref, m_ref, g_ref,
+                                         sc_ref, o_ref, ot_ref, *,
+                                         heads: int, eps: float):
+    """vt kernel with the Transformer2D ``proj_in`` 1x1 conv absorbed as
+    a bf16 MXU prologue: ``x`` arrives as the GroupNorm output and the
+    kernel computes the residual stream ``h = x @ wpi + bpi`` itself
+    (``g`` row 3 = proj_in bias). Outside the kernel that matmul ran at
+    ~20% MFU — the custom call forces a {1,2,0} layout on its operand
+    and XLA schedules the proj as a standalone token matmul + copy
+    (BENCH_NOTES r4 "Where the time goes"); in VMEM it is MXU-trivial
+    (C=320: 0.4 GFLOP per image vs the kernel's ~50)."""
+    xf = jax.lax.dot_general(
+        x_ref[0], wpi_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + g_ref[3]       # [T, C]
+    _abs_padded_ln_s8_vt_body(xf, wq_ref, wk_ref, wvt_ref, wo_ref,
+                              m_ref, g_ref, sc_ref, o_ref, ot_ref,
+                              heads=heads, eps=eps)
+
+
+def _abs_padded_ln_s8_vt_body(xf, wq_ref, wk_ref, wvt_ref, wo_ref,
+                              m_ref, g_ref, sc_ref, o_ref, ot_ref, *,
+                              heads: int, eps: float):
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     xc = xf - mu
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
@@ -875,7 +903,7 @@ def _attn_kernel_abs_padded_ln_s8_vt(x_ref, wq_ref, wk_ref, wvt_ref,
     x = jnp.clip(jnp.round(hn / xs), -127, 127).astype(jnp.int8)
     hp = wq_ref.shape[-1]
     dp = hp // heads
-    c = x_ref.shape[-1]
+    c = xf.shape[-1]
     d = c // heads
 
     def proj(w_ref, row):
@@ -957,9 +985,47 @@ def _abs_padded_ln_s8_vt_impl(x, wqp, wkp, wvt8, wo_dq, m, g, sc, heads,
     )(x, wqp, wkp, wvt8, wo_dq, m, g, sc)
 
 
+def _abs_padded_ln_s8_vt_pin_impl(x, wpi, wqp, wkp, wvt8, wo_dq, m, g,
+                                  sc, heads, eps, interpret=False):
+    b, t, c = x.shape
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_abs_padded_ln_s8_vt_pin,
+                          heads=heads, eps=eps),
+        grid=(b,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wpi.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wqp.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wkp.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wvt8.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wo_dq.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(m.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(g.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((c, t), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+    )(x, wpi, wqp, wkp, wvt8, wo_dq, m, g, sc)
+
+
 def pack_padded_ln_vt_tiles(wq8, wk8, wv8, wo8, scales, heads,
                             softmax_scale, act_scale, ln_scale, ln_bias,
-                            out_bias, attn_scale: float = 0.1):
+                            out_bias, attn_scale: float = 0.1,
+                            proj_in_bias=None):
     """Build the loop-invariant operands of the padded-LN vt attention
     kernel (the default fused-norms path): head-padded Q/K weights,
     pre-transposed V weights, pre-dequantized bf16 to_out weights and
@@ -982,6 +1048,10 @@ def pack_padded_ln_vt_tiles(wq8, wk8, wv8, wo8, scales, heads,
     g = g.at[0].set(ln_scale.astype(jnp.float32))
     g = g.at[1].set(ln_bias.astype(jnp.float32))
     g = g.at[2].set(out_bias.astype(jnp.float32))
+    if proj_in_bias is not None:
+        # row 3: Transformer2D proj_in bias (the _pin kernel absorbs the
+        # 1x1 proj conv as a bf16 prologue matmul)
+        g = g.at[3].set(proj_in_bias.astype(jnp.float32))
     wvt8 = wv8.T
     wo_dq = (wo8.astype(jnp.float32)
              * jnp.repeat(scales[:, 0, 3], d)[:, None]
@@ -996,6 +1066,7 @@ def absorbed_padded_ln_self_attention_s8(
     heads: int, scale: float, act_scale: float,
     attn_scale: float = 0.1, eps: float = 1e-6, max_seq: int = 2048,
     v_bf16: bool = True, v_transposed: bool = True, pack=None,
+    proj_in=None,
 ) -> jnp.ndarray:
     """``x + to_out(attn(LN(x)))`` in one fused s8 kernel — the padded
     absorbed kernel plus the block's pre-attention LayerNorm, to_out
@@ -1005,7 +1076,13 @@ def absorbed_padded_ln_self_attention_s8(
     VPU quantize chain dominates the kernel) and more accurate.
     ``pack``: prepacked operands from :func:`pack_padded_ln_vt_tiles`
     (vt path only); when given, the raw weight/scale args only feed the
-    fallback branch and dead-code eliminate on the kernel path."""
+    fallback branch and dead-code eliminate on the kernel path.
+    ``proj_in``: optional ``(w [C, C] bf16, b [C])`` — the Transformer2D
+    proj_in 1x1 conv absorbed as a bf16 prologue matmul (``x`` then
+    arrives as the GroupNorm output and the kernel builds the residual
+    stream itself; vt path only). When ``pack`` is given alongside, its
+    ``g`` row 3 must already hold the proj_in bias
+    (``pack_inference_tiles(fuse_projs=True)``)."""
     b, t, c = x.shape
     d = c // heads
 
@@ -1020,6 +1097,11 @@ def absorbed_padded_ln_self_attention_s8(
 
     if (t > max_seq or t % 8 != 0 or c % heads != 0 or d % 8 != 0
             or jax.default_backend() == "cpu"):
+        if proj_in is not None:
+            # same math as the _pin prologue, in XLA
+            x = (jnp.einsum("btc,co->bto", x.astype(jnp.float32),
+                            proj_in[0].astype(jnp.float32))
+                 + proj_in[1].astype(jnp.float32)).astype(x.dtype)
         h = _ln(x)
         attn = absorbed_padded_self_attention_s8(
             h, wq8, wk8, wv8, wo8, scales, heads, scale, act_scale,
@@ -1036,11 +1118,19 @@ def absorbed_padded_ln_self_attention_s8(
         if pack is None:
             pack = pack_padded_ln_vt_tiles(
                 wq8, wk8, wv8, wo8, scales, heads, scale, act_scale,
-                ln_scale, ln_bias, out_bias, attn_scale)
+                ln_scale, ln_bias, out_bias, attn_scale,
+                proj_in_bias=None if proj_in is None else proj_in[1])
+        if proj_in is not None:
+            return _abs_padded_ln_s8_vt_pin_impl(
+                x, proj_in[0].astype(jnp.bfloat16),
+                pack["wqp"], pack["wkp"], pack["wvt"], pack["wo"],
+                pack["m"], pack["g"], pack["sc"], heads,
+                eps).astype(x.dtype)
         return _abs_padded_ln_s8_vt_impl(
             x, pack["wqp"], pack["wkp"], pack["wvt"], pack["wo"],
             pack["m"], pack["g"], pack["sc"], heads,
             eps).astype(x.dtype)
+    assert proj_in is None, "proj_in absorption requires the vt path"
     wqp, wkp, wvp, wop, m, sc = _abs_padded_prep(
         wq8, wk8, wv8, wo8, scales, heads, act_scale, attn_scale, scale)
     sc = sc.at[0, 2].set(jnp.float32(act_scale))

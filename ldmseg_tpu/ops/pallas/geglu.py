@@ -183,6 +183,68 @@ def _geglu_ln_kernel(x_ref, w1_ref, w2_ref, s1_ref, s2_ref, g_ref,
     o_ref[0] = (xf + yf * s2_ref[0] + g_ref[2]).astype(o_ref.dtype)
 
 
+def _geglu_ln_pout_kernel(x_ref, w1_ref, w2_ref, wpo_ref, s1_ref, s2_ref,
+                          g_ref, sc_ref, o_ref, *, eps: float,
+                          static_g: bool = False, nc: int = 1):
+    """LN3 + GEGLU + residual + Transformer2D ``proj_out`` in one pass.
+
+    Extends :func:`_geglu_ln_kernel` with the block's trailing 1x1
+    proj_out conv as a bf16 MXU epilogue (``wpo [C, C]`` bf16, bias in
+    ``g`` row 3): outside the kernel that matmul runs at ~20% MFU on the
+    custom-call-forced layout (BENCH_NOTES r4). The kernel then returns
+    proj_out(tokens) + bias; the Transformer2D residual add stays in
+    XLA (elementwise, fuses freely)."""
+    xf = x_ref[0].astype(jnp.float32)             # [BQ, C]
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    h = xc * jax.lax.rsqrt(var + eps) * g_ref[0] + g_ref[1]
+    xs = sc_ref[0, 0]
+    x8 = jnp.clip(jnp.round(h / xs), -127, 127).astype(jnp.int8)
+    yf = _ff_interior(x8, xs, w1_ref, w2_ref, s1_ref, sc_ref,
+                      static_g=static_g, nc=nc)
+    r = (xf + yf * s2_ref[0] + g_ref[2]).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        r, wpo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)       # [BQ, C]
+    o_ref[0] = (out + g_ref[3]).astype(o_ref.dtype)
+
+
+def _geglu_ln_pout_impl(x, w1q, w2q, wpo, s1, s2, g, sc, block_t, eps,
+                        static_g=False, nc=1):
+    b, t, c = x.shape
+    block_t = min(block_t, t)
+    grid = (b, t // block_t)
+    return pl.pallas_call(
+        functools.partial(_geglu_ln_pout_kernel, eps=eps,
+                          static_g=static_g, nc=nc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_t, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1q.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2q.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wpo.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(s1.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(s2.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(g.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_t, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, w1q, w2q, wpo, s1, s2, g, sc)
+
+
 def _geglu_ln_impl(x, w1q, w2q, s1, s2, g, sc, block_t, eps,
                    static_g=False, nc=1):
     b, t, c = x.shape
@@ -231,7 +293,7 @@ def _xla_geglu_ln_s8(x, ln_scale, ln_bias, w1q, w2q, s1, s2, b2,
 
 
 def pack_geglu_ln_tiles(s1, b1, s2, b2, ln_scale, ln_bias, act_scale,
-                        g_scale=None):
+                        g_scale=None, proj_out_bias=None):
     """Build the loop-invariant VMEM tiles of the fused LN+GEGLU kernel.
 
     These tiles depend only on params + calibrated scales, yet when
@@ -251,6 +313,10 @@ def pack_geglu_ln_tiles(s1, b1, s2, b2, ln_scale, ln_bias, act_scale,
     g = g.at[0].set(ln_scale.astype(jnp.float32))
     g = g.at[1].set(ln_bias.astype(jnp.float32))
     g = g.at[2].set(b2.astype(jnp.float32))
+    if proj_out_bias is not None:
+        # row 3: Transformer2D proj_out bias (the _pout kernel absorbs
+        # the trailing 1x1 proj conv as a bf16 epilogue matmul)
+        g = g.at[3].set(proj_out_bias.astype(jnp.float32))
     sc = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(
         jnp.float32(act_scale))
     if g_scale is not None:
@@ -263,7 +329,7 @@ def fused_geglu_ln_s8(
     w1q: jnp.ndarray, s1: jnp.ndarray, b1: jnp.ndarray,
     w2q: jnp.ndarray, s2: jnp.ndarray, b2: jnp.ndarray,
     act_scale: float, eps: float = 1e-6, block_t: int = 512,
-    g_scale=None, pack=None,
+    g_scale=None, pack=None, proj_out=None,
 ) -> jnp.ndarray:
     """``x + proj_out(geglu(proj_in(LN(x))))`` in one fused s8 kernel.
 
@@ -275,17 +341,34 @@ def fused_geglu_ln_s8(
     ``pack``: prepacked tiles from :func:`pack_geglu_ln_tiles` (stored
     in the tree by ``pack_inference_tiles``); when given, the raw
     scale/bias/LN args only feed the fallback branch and dead-code
-    eliminate on the kernel path."""
+    eliminate on the kernel path. ``proj_out``: optional
+    ``(w [C, C] bf16, b [C])`` — the TRANSFORMER2D trailing proj_out
+    1x1 conv absorbed as a bf16 epilogue matmul (the return value is
+    then the proj output, NOT the residual stream; the caller adds the
+    outer Transformer2D residual). With ``pack``, its ``g`` row 3 must
+    already hold that bias (``pack_inference_tiles(fuse_projs=True)``)."""
     b, t, c = x.shape
     if (t % 8 != 0 or t % min(block_t, t) != 0
             or jax.default_backend() == "cpu"):
-        return _xla_geglu_ln_s8(x, ln_scale, ln_bias, w1q, w2q,
-                                jnp.stack([s1, b1.astype(jnp.float32)]),
-                                s2[None], b2, act_scale, eps,
-                                g_scale=g_scale)
+        r = _xla_geglu_ln_s8(x, ln_scale, ln_bias, w1q, w2q,
+                             jnp.stack([s1, b1.astype(jnp.float32)]),
+                             s2[None], b2, act_scale, eps,
+                             g_scale=g_scale)
+        if proj_out is not None:
+            r = (jnp.einsum("btc,co->bto", r.astype(jnp.float32),
+                            proj_out[0].astype(jnp.float32))
+                 + proj_out[1].astype(jnp.float32)).astype(x.dtype)
+        return r
     if pack is None:
-        pack = pack_geglu_ln_tiles(s1, b1, s2, b2, ln_scale, ln_bias,
-                                   act_scale, g_scale)
+        pack = pack_geglu_ln_tiles(
+            s1, b1, s2, b2, ln_scale, ln_bias, act_scale, g_scale,
+            proj_out_bias=None if proj_out is None else proj_out[1])
+    if proj_out is not None:
+        return _geglu_ln_pout_impl(
+            x, w1q, w2q, proj_out[0].astype(jnp.bfloat16),
+            pack["s1t"], pack["s2t"], pack["g"], pack["sc"],
+            min(block_t, t), eps,
+            static_g=g_scale is not None).astype(x.dtype)
     return _geglu_ln_impl(x, w1q, w2q, pack["s1t"], pack["s2t"],
                           pack["g"], pack["sc"], min(block_t, t), eps,
                           static_g=g_scale is not None).astype(x.dtype)

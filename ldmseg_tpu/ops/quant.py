@@ -243,7 +243,8 @@ def prequantize_conv_tree(params, quantize_ff: bool = False,
 def pack_inference_tiles(params, attention_heads: int = 8,
                          int8_act_scale: float = 0.05,
                          int8_attn_act_scale: float = 0.1,
-                         attn_scale: float = 0.1):
+                         attn_scale: float = 0.1,
+                         fuse_projs: bool = False):
     """Prebuild the fused-norms kernels' loop-invariant VMEM operands
     into the param tree (run AFTER ``prequantize_conv_tree`` and
     ``apply_act_scales``).
@@ -264,7 +265,13 @@ def pack_inference_tiles(params, attention_heads: int = 8,
 
     ``attention_heads``/``int8_*_scale``/``attn_scale`` must match the
     UNet config the tree will be applied with (same contract as
-    ``prequantize_conv_tree``'s ``attention_heads``)."""
+    ``prequantize_conv_tree``'s ``attention_heads``).
+
+    ``fuse_projs``: the UNet will run with ``use_fused_projs`` — the
+    Transformer2D proj_in/proj_out biases are baked into the two
+    kernels' ``g`` tiles (row 3), matching the bf16 prologue/epilogue
+    matmuls. The packed tree is then WRONG for a ``use_fused_projs=
+    False`` model (the biases would be dropped), hence opt-in."""
     import jax.numpy as jnp
     from .pallas.attention import pack_padded_ln_vt_tiles
     from .pallas.geglu import pack_geglu_ln_tiles
@@ -274,9 +281,25 @@ def pack_inference_tiles(params, attention_heads: int = 8,
                                                       dict)
                 and getattr(leaf["kernel"].get("q"), "ndim", 0) == 2)
 
-    def walk(node):
+    def walk(node, bpi=None, bpo=None):
         if not isinstance(node, dict):
             return node
+        is_t2d = (fuse_projs
+                  and {"norm", "proj_in", "proj_out", "block0"}
+                  <= set(node)
+                  and isinstance(node["proj_in"], dict)
+                  and getattr(node["proj_in"].get("kernel"),
+                              "ndim", 0) == 4)
+        if is_t2d:
+            # fused-projs Transformer2D: hand the proj conv biases down
+            # to block0's tile packs (the conv kernels themselves ride
+            # raw — a [1,1,C,C]->[C,C] reshape is free in-graph)
+            return {k: walk(v,
+                            bpi=node["proj_in"]["bias"] if k == "block0"
+                            else None,
+                            bpo=node["proj_out"]["bias"] if k == "block0"
+                            else None)
+                    for k, v in node.items()}
         is_block = ({"attn1", "norm1", "norm3", "ff"} <= set(node)
                     and isinstance(node["attn1"], dict)
                     and isinstance(node["ff"], dict)
@@ -303,7 +326,7 @@ def pack_inference_tiles(params, attention_heads: int = 8,
             kq["q"], kk["q"], kv["q"], ko["q"], scales, h,
             (c // h) ** -0.5, xs_attn,
             node["norm1"]["scale"], node["norm1"]["bias"],
-            attn["to_out"]["bias"], attn_scale)
+            attn["to_out"]["bias"], attn_scale, proj_in_bias=bpi)
         out["attn1"] = dict(
             attn,
             to_q=dict(attn["to_q"], kernel=dict(kq, t_wqp=apack["wqp"])),
@@ -319,7 +342,7 @@ def pack_inference_tiles(params, attention_heads: int = 8,
             ff["proj_out"]["bias"], node["norm3"]["scale"],
             node["norm3"]["bias"],
             k1.get("x_scale", jnp.float32(int8_act_scale)),
-            k2.get("x_scale"))
+            k2.get("x_scale"), proj_out_bias=bpo)
         out["ff"] = dict(
             ff,
             proj_in=dict(ff["proj_in"], kernel=dict(

@@ -43,7 +43,16 @@ def sample_with(unet, params):
 x_bf = sample_with(unet_bf, p)
 
 which = sys.argv[1] if len(sys.argv) > 1 else "C"
-if which in ("C", "D"):
+if which == "E":
+    # E = C + fused projs (r5: Transformer2D 1x1 proj convs absorbed
+    # as bf16 prologue/epilogue matmuls of the block kernels)
+    cfg_i8 = UNetConfig(**base, use_padded_attention=True,
+                        use_int8_conv=True, int8_act_scale=0.05,
+                        use_int8_ff=True, use_fused_ff=True,
+                        int8_attn_act_scale=0.1, use_fused_norms=True,
+                        use_fused_projs=True)
+    absorbed = True
+elif which in ("C", "D"):
     # D = C + per-site calibrated act scales (calibrate_act_scale_tree)
     cfg_i8 = UNetConfig(**base, use_padded_attention=True,
                         use_int8_conv=True, int8_act_scale=0.05,
@@ -81,7 +90,8 @@ if absorbed:
     # loop-invariant operands (bench.py does the same)
     from ldmseg_tpu.ops.quant import pack_inference_tiles
     pq = jax.jit(functools.partial(pack_inference_tiles,
-                                   attention_heads=8))(pq)
+                                   attention_heads=8,
+                                   fuse_projs=(which == "E")))(pq)
 x_i8 = sample_with(UNet2DCondition(config=cfg_i8), pq)
 corr = np.corrcoef(x_bf.ravel(), x_i8.ravel())[0, 1]
 rel = np.abs(x_bf - x_i8).mean() / np.abs(x_bf).mean()

@@ -28,24 +28,14 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+def canonical_setup(batch: int, h: int, w: int, tiny: bool = False):
+    """(cfg, unet_config) for the canonical stage-2 workload — the
+    reference train_diffusion.sh knobs mapped to TPU (fp16 -> bf16).
+    Shared by this rehearsal and bench.py's real-trainer train probe so
+    both compile the SAME executable (one .jax_cache entry)."""
     from ldmseg_tpu.utils.config import load_config, merge_dicts
-    from ldmseg_tpu.tools.main_ae import DATASET_PRESETS, build_datasets
-    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+    from ldmseg_tpu.tools.main_ae import DATASET_PRESETS
 
-    tiny = os.environ.get("LDMSEG_DRESS_TINY") == "1"  # CPU logic smoke
-    if tiny:
-        jax.config.update("jax_platforms", "cpu")
-    batch = int(os.environ.get("LDMSEG_DRESS_BATCH", "4" if tiny else "16"))
-    timed_steps = int(os.environ.get("LDMSEG_DRESS_STEPS",
-                                     "4" if tiny else "50"))
-    h, w = (64, 128) if tiny else (256, 512)
-
-    # canonical train_diffusion.sh knobs, mapped (fp16 -> bf16)
     cfg = load_config(None)
     cfg = merge_dicts(cfg, DATASET_PRESETS["synthetic"])
     cfg = merge_dicts(cfg, {
@@ -88,6 +78,26 @@ def main():
                                  "upscale_channels": 32},
             "image_vae_kwargs": {"block_out_channels": [8, 16, 16, 32],
                                  "groups": 8}})
+    return cfg, unet_config
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ldmseg_tpu.tools.main_ae import build_datasets
+    from ldmseg_tpu.train.trainer_ldm import TrainerDiffusion
+
+    tiny = os.environ.get("LDMSEG_DRESS_TINY") == "1"  # CPU logic smoke
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
+    batch = int(os.environ.get("LDMSEG_DRESS_BATCH", "4" if tiny else "16"))
+    timed_steps = int(os.environ.get("LDMSEG_DRESS_STEPS",
+                                     "4" if tiny else "50"))
+    h, w = (64, 128) if tiny else (256, 512)
+
+    cfg, unet_config = canonical_setup(batch, h, w, tiny=tiny)
 
     ckpt_dir = os.environ.get("LDMSEG_DRESS_DIR", "/tmp/ldmseg_dress")
     os.system(f"rm -rf {ckpt_dir}")
@@ -122,15 +132,45 @@ def main():
     t_compile = time.perf_counter() - t0
     print(f"compile+3 warmup steps: {t_compile:.1f}s", flush=True)
 
-    # phase 2: steady state
+    # phase 2: steady-state through the REAL train_loop (includes the
+    # host input pipeline — on this 1-CPU VM the loader, not the chip,
+    # can bound this; see phase 2b for the device-only rate)
     t0 = time.perf_counter()
     trainer.train_loop(max_steps=3 + timed_steps, log_every=10**6,
                        save_every=10**9)
     sync()
     dt = (time.perf_counter() - t0) / timed_steps
     sps = batch / dt
-    print(f"steady state: {dt*1e3:.1f} ms/step -> {sps:.2f} "
-          f"samples/s/chip over {timed_steps} steps", flush=True)
+    print(f"steady state (loop, incl. host pipeline): {dt*1e3:.1f} "
+          f"ms/step -> {sps:.2f} samples/s/chip over {timed_steps} "
+          f"steps", flush=True)
+
+    # phase 2b: device-only rate — the SAME compiled _train_step on a
+    # fixed pre-sharded batch, async-dispatched (host collate excluded).
+    # This is the number comparable to bench.py's train probes.
+    import jax.numpy as jnp
+    from ldmseg_tpu.parallel import shard_batch
+    db = shard_batch(trainer.mesh, {
+        k: jnp.asarray(v) for k, v in
+        trainer._device_batch(first).items()})
+    import jax as _jax
+    key = _jax.random.key(123)
+    key, sub = _jax.random.split(key)
+    trainer.state, m, _ = trainer._train_step(
+        trainer.state, trainer.frozen_params, db, sub)
+    np.asarray(m["loss"])
+    dev_iters = max(5, timed_steps // 2)
+    t0 = time.perf_counter()
+    for _ in range(dev_iters):
+        key, sub = _jax.random.split(key)
+        trainer.state, m, _ = trainer._train_step(
+            trainer.state, trainer.frozen_params, db, sub)
+    np.asarray(m["loss"])
+    dev_dt = (time.perf_counter() - t0) / dev_iters
+    dev_sps = batch / dev_dt
+    print(f"steady state (device-only): {dev_dt*1e3:.1f} ms/step -> "
+          f"{dev_sps:.2f} samples/s/chip over {dev_iters} steps",
+          flush=True)
 
     # phase 3: orbax save/resume round-trip at scale
     t0 = time.perf_counter()
@@ -139,6 +179,16 @@ def main():
     step_before = int(trainer.state.step)
     leaf_before = np.asarray(
         jax.tree_util.tree_leaves(trainer.state.params)[0]).ravel()[:8]
+
+    # the restart trainer allocates its own fp32 masters + adamw moments
+    # (~10 GB at 816M params); two full train states do NOT fit on the
+    # 16 GB v5e — release the first trainer's device buffers first
+    # (observed RESOURCE_EXHAUSTED without this)
+    import gc
+    trainer.state = None
+    trainer.frozen_params = None
+    del db, m
+    gc.collect()
 
     trainer2 = TrainerDiffusion(cfg, unet_config=unet_config,
                                 dataset=train_ds, val_dataset=None,
@@ -170,9 +220,11 @@ def main():
 
     print(json.dumps({
         "metric": "dress_rehearsal_train_samples_per_sec_per_chip",
-        "value": round(sps, 3),
+        "value": round(dev_sps, 3),
         "unit": "samples/s",
         "batch": batch, "hw": [h, w],
+        "step_ms_device": round(dev_dt * 1e3, 1),
+        "loop_samples_per_sec_incl_host": round(sps, 3),
         "step_ms": round(dt * 1e3, 1),
         "unet_params_m": round(n_params / 1e6, 1),
         "compile_s": round(t_compile, 1),

@@ -469,11 +469,27 @@ class TrainerAE:
                   "step": np.asarray(self.state.step)}
         if self.state.ema_params is not None:
             target["ema_params"] = self.state.ema_params
-        restored = ckptr.restore(path, target)
+        # abstract-target restore after freeing the init-time buffers —
+        # a concrete-target restore holds TWO full train states on the
+        # chip at once (OOM at flagship scale; see trainer_ldm.resume)
+        import gc
+
+        def _abstract(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=x.sharding)
+            return x
+        abstract = jax.tree_util.tree_map(_abstract, target)
+        keep_ema = None if "ema_params" in target else \
+            self.state.ema_params
+        self.state = self.state.replace(params=None, opt_state=None,
+                                        ema_params=None)
+        del target
+        gc.collect()
+        restored = ckptr.restore(path, abstract)
         self.state = self.state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"]),
-            ema_params=restored.get("ema_params",
-                                    self.state.ema_params))
+            ema_params=restored.get("ema_params", keep_ema))
         print(f"Resumed from {path} at step {int(self.state.step)}")
         return path

@@ -1366,12 +1366,32 @@ class TrainerDiffusion:
         except Exception:
             pass
         target = {k: v for k, v in target.items() if k in present}
-        restored = ckptr.restore(path, target)
+        # restore into ABSTRACT targets with the live shardings, and
+        # free the init-time buffers first: a concrete-target restore
+        # allocates a full second copy of the train state, and at
+        # flagship scale (fp32 masters + adamw moments ~10 GB) two
+        # copies exceed the 16 GB chip — caught by the r5 dress
+        # rehearsal (RESOURCE_EXHAUSTED on resume)
+        import gc
+
+        def _abstract(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=x.sharding)
+            return x
+        abstract = jax.tree_util.tree_map(_abstract, target)
+        keep_ema = self.state.ema_params
+        if "ema_params" in target:
+            keep_ema = None  # restored below; drop our copy too
+        self.state = self.state.replace(params=None, opt_state=None,
+                                        ema_params=None)
+        del target
+        gc.collect()
+        restored = ckptr.restore(path, abstract)
         self.state = self.state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"]),
-            ema_params=restored.get("ema_params",
-                                    self.state.ema_params))
+            ema_params=restored.get("ema_params", keep_ema))
         self.best_pq = float(restored.get("best_pq", self.best_pq))
         # trained weights: int8 sampling must not use the global default
         # act scales silently (see _ensure_int8_ready)

@@ -1141,3 +1141,160 @@ def test_pack_inference_tiles_tree_and_cpu_parity():
     y_pq = uq.apply(pq, x, t)
     y_pk = uq.apply(pk, x, t)
     np.testing.assert_array_equal(np.asarray(y_pq), np.asarray(y_pk))
+
+
+def test_padded_ln_vt_pin_kernel_interpret_mode():
+    """proj_in-absorbed vt kernel == (XLA proj_in) -> vt kernel: the
+    bf16 prologue matmul builds the same residual stream the plain vt
+    kernel receives pre-projected."""
+    from ldmseg_tpu.ops.pallas.attention import (
+        _abs_padded_prep, _abs_padded_ln_s8_vt_impl,
+        _abs_padded_ln_s8_vt_pin_impl, quantize_head_weights)
+    b, t, heads, d = 2, 32, 4, 8
+    c = heads * d
+    rng = np.random.RandomState(31)
+    xg = jnp.asarray(rng.randn(b, t, c), jnp.float32)  # GN output
+    wpi = jnp.asarray(rng.randn(c, c) * 0.2, jnp.float32)
+    bpi = jnp.asarray(0.05 * rng.randn(c), jnp.float32)
+    g1 = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+    bo = jnp.asarray(0.05 * rng.randn(c), jnp.float32)
+    wq, wk, wv, wo = (jnp.asarray(rng.randn(c, c), jnp.float32) * 0.2
+                      for _ in range(4))
+    scale = d**-0.5
+    h = jnp.einsum("btc,co->bto", xg, wpi) + bpi  # exact f32 prologue
+
+    wq8, wk8, wv8, wo8, scales = quantize_head_weights(wq, wk, wv, wo,
+                                                       heads)
+    flat_qkv = lambda w8: jnp.transpose(  # noqa: E731
+        w8, (1, 0, 2)).reshape(c, c)
+    w8 = (flat_qkv(wq8), flat_qkv(wk8), flat_qkv(wv8), wo8.reshape(c, c))
+    act_scale = float(np.abs(np.asarray(h)).max()) / 100.0
+    attn_scale = 0.1
+    wqp, wkp, wvp, wop, mm, sc = _abs_padded_prep(
+        *w8, scales, heads, act_scale, attn_scale, scale)
+    sc = sc.at[0, 2].set(act_scale)
+    sc = sc.at[2, :heads].set(scales[:, 0, 2] * act_scale)
+    wvt8 = w8[2].T
+    wo_dq = (w8[3].astype(jnp.float32)
+             * jnp.repeat(scales[:, 0, 3], d)[:, None]).astype(
+        jnp.bfloat16)
+    gt = jnp.zeros((8, c), jnp.float32).at[0].set(g1).at[1].set(
+        be1).at[2].set(bo)
+    ref = np.asarray(_abs_padded_ln_s8_vt_impl(
+        h, wqp, wkp, wvt8, wo_dq, mm, gt, sc, heads, 1e-6,
+        interpret=True), np.float32)
+    gt3 = gt.at[3].set(bpi)
+    out = np.asarray(_abs_padded_ln_s8_vt_pin_impl(
+        xg, wpi, wqp, wkp, wvt8, wo_dq, mm, gt3, sc, heads, 1e-6,
+        interpret=True), np.float32)
+    assert np.isfinite(out).all()
+    rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+    assert rel < 1e-3, rel
+
+
+def test_geglu_ln_pout_kernel_interpret_mode():
+    """proj_out-absorbed LN+GEGLU kernel == LN+GEGLU kernel -> (XLA
+    proj_out), within the bf16 epilogue-operand rounding."""
+    import functools
+    from ldmseg_tpu.ops.pallas.geglu import (
+        _geglu_ln_kernel, _geglu_ln_pout_kernel)
+    b, t, c, m = 2, 16, 64, 128
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    g1 = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+    be1 = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+    w1 = jnp.asarray(rng.randn(c, 2 * m) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.randn(2 * m) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.randn(m, c) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.randn(c) * 0.05, jnp.float32)
+    wpo = jnp.asarray(rng.randn(c, c) * 0.2, jnp.float32)
+    bpo = jnp.asarray(0.05 * rng.randn(c), jnp.float32)
+
+    def qd(w):
+        ws = np.maximum(np.abs(np.asarray(w)).max(axis=0), 1e-8) / 127.0
+        return (jnp.asarray(np.round(np.asarray(w) / ws), jnp.int8),
+                jnp.asarray(ws, jnp.float32))
+    w1q, s1 = qd(w1)
+    w2q, s2 = qd(w2)
+    act_scale = 0.05
+    s1t = jnp.zeros((8, 2 * m), jnp.float32).at[0].set(s1).at[1].set(b1)
+    s2t = jnp.zeros((8, c), jnp.float32).at[0].set(s2)
+    gt = jnp.zeros((8, c), jnp.float32).at[0].set(g1).at[1].set(
+        be1).at[2].set(b2)
+    sc = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(act_scale)
+    base = pl.pallas_call(
+        functools.partial(_geglu_ln_kernel, eps=1e-6),
+        grid=(b, 1),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec(w1q.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(w2q.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(s1t.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(s2t.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(gt.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+        interpret=True,
+    )(x, w1q, w2q, s1t, s2t, gt, sc)
+    ref = (jnp.einsum("btc,co->bto", base.astype(jnp.float32), wpo)
+           + bpo)
+    gt3 = gt.at[3].set(bpo)
+    out = pl.pallas_call(
+        functools.partial(_geglu_ln_pout_kernel, eps=1e-6),
+        grid=(b, 1),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec(w1q.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(w2q.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(wpo.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(s1t.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(s2t.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec(gt3.shape, lambda i, j: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
+        interpret=True,
+    )(x, w1q, w2q, wpo, s1t, s2t, gt3, sc)
+    out = np.asarray(out, np.float32)
+    refn = np.asarray(ref, np.float32)
+    rel = np.abs(out - refn).mean() / np.abs(refn).mean()
+    assert np.isfinite(out).all()
+    assert rel < 0.02, rel
+
+
+def test_unet_fused_projs_builds_and_matches():
+    """UNet with use_fused_projs keeps the param tree identical, matches
+    the bf16 model through the CPU fallbacks, and consumes the
+    prequantized + fuse_projs-packed tree."""
+    from ldmseg_tpu.models import UNet2DCondition, UNetConfig
+    from ldmseg_tpu.ops.quant import (prequantize_conv_tree,
+                                      pack_inference_tiles)
+    base = dict(in_channels=4, block_out_channels=(32, 64),
+                layers_per_block=1, attn_down=(True, True),
+                attention_head_dim=2, norm_num_groups=8,
+                use_cross_attention=False)
+    fused = dict(base, use_padded_attention=True, use_fused_norms=True,
+                 use_int8_conv=True, use_int8_ff=True, use_fused_ff=True,
+                 use_fused_projs=True, int8_act_scale=0.05,
+                 int8_attn_act_scale=0.1)
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
+    t = jnp.array([3, 7], jnp.int32)
+    u0 = UNet2DCondition(config=UNetConfig(**base))
+    u1 = UNet2DCondition(config=UNetConfig(**fused))
+    p = u0.init(jax.random.key(0), x, t)
+    p1 = u1.init(jax.random.key(0), x, t)
+    assert jax.tree_util.tree_structure(p) == \
+        jax.tree_util.tree_structure(p1)
+    y0 = u0.apply(p, x, t)
+    pq = prequantize_conv_tree(p, quantize_ff=True,
+                               absorbed_attention=True,
+                               attention_heads=2)
+    pk = pack_inference_tiles(pq, attention_heads=2, fuse_projs=True)
+    y1 = u1.apply(pk, x, t)
+    corr = np.corrcoef(np.asarray(y0).ravel(),
+                       np.asarray(y1).ravel())[0, 1]
+    assert np.isfinite(np.asarray(y1)).all() and corr > 0.99, corr
