@@ -45,7 +45,8 @@ def main():
     # sampling corr 0.99995 vs bf16 (rel 1.0%).
     # round 5: fused projs (Transformer2D 1x1 proj convs absorbed as
     # bf16 prologue/epilogue matmuls of the two block kernels) measured
-    # e2e NEGATIVE (10.41 vs 10.63 f/s) despite the projs' standalone
+    # e2e NEGATIVE (10.41 both / 10.47 FF-side-only vs 10.63 f/s,
+    # measured) despite the projs' standalone
     # ~20% MFU — XLA's "slow" token matmuls were amortizing neighboring
     # elementwise work into their fusions. Kernels kept opt-in
     # (use_fused_projs, numerics-tested); see BENCH_NOTES r5.
