@@ -115,7 +115,7 @@ def main():
     ae = TrainerAE(cfg, dataset=train_ds, val_dataset=val_ds,
                    results_folder=os.path.join(out_dir, "ae"))
     ae.train_loop(max_steps=steps_ae, log_every=100, save_every=10**9)
-    miou = ae.compute_miou(max_batches=2)
+    miou = float(ae.compute_miou(max_batches=2)["mIoU"])
     print(f"[stage1] {steps_ae} steps, recon mIoU {miou:.1f}",
           flush=True)
 
