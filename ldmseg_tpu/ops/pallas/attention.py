@@ -928,9 +928,16 @@ def _abs_padded_ln_s8_vt_body(xf, wq_ref, wk_ref, wvt_ref, wo_ref,
         # standalone (3.00 vs 3.22 ms/layer) but consistently SLOWER
         # e2e (9.97/10.00 vs 10.11 f/s) — same lesson as the MXU-LN
         # stats experiment (BENCH_NOTES): kernel-internal reorderings
-        # must be confirmed e2e. f32 form kept.
-        s = st32.astype(jnp.float32) * sc_ref[0, 0]
-        s = s - jnp.max(s, axis=0, keepdims=True)
+        # must be confirmed e2e.
+        # r5: the per-column max pass is GONE — softmax is shift-
+        # invariant, so subtracting a STATIC offset (sc[0,4], default 0)
+        # is mathematically exact while the denominator ones-rows
+        # normalize; a clamp at +80 guards f32/bf16 exp overflow (s8
+        # scores at bench scales stay far below it, and a binding clamp
+        # is a mild score clip, not a NaN). Kills a [T,T] cross-sublane
+        # reduce + broadcast-subtract per head per call.
+        s = jnp.minimum(
+            st32.astype(jnp.float32) * sc_ref[0, 0] - sc_ref[0, 4], 80.0)
         e = jnp.exp(s).astype(jnp.bfloat16)
         vbt = (v32t[h * d:(h + 1) * d].astype(jnp.float32)
                * sc_ref[2, h]).astype(jnp.bfloat16)         # [d, Tk]

@@ -119,6 +119,16 @@ def main():
     print(f"[stage1] {steps_ae} steps, recon mIoU {miou:.1f}",
           flush=True)
 
+    # eval-plumbing sanity: GT scored against itself must be ~100
+    from ldmseg_tpu.evals import evaluate_dvpq
+    gts = [np.asarray(val_ds[i]["semseg"]) for i in range(8)]
+    zeros = [np.zeros_like(g) for g in gts]
+    sanity = float(evaluate_dvpq(gts, zeros, gts, zeros, eval_frames=1,
+                                 num_cat=33, num_eval_cat=32,
+                                 things_split=8)["pq"])
+    print(f"[sanity] DVPQ(gt, gt) = {sanity:.1f} (expect ~100)",
+          flush=True)
+
     # ---- stage 2: LDM adopting the trained seg-VAE ----
     # int8-capable small UNet: d = c/heads % 8 == 0 at every attn site,
     # T = 12*40 = 480 % 8 == 0
